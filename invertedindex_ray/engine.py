@@ -1,0 +1,461 @@
+"""BM25 query engine: conjunctive / disjunctive top-k retrieval with
+document-at-a-time traversal and MaxScore dynamic pruning.
+
+Faithful re-expression of the reference query processor
+(/root/reference/src/main/java/it/unipi/query/processor/QueryProcessor.java):
+
+- query preprocessing == the indexing chain, first token selects AND/OR,
+  >32 terms truncated, tokens deduped (QueryProcessor.java:135-174)
+- posting lists sorted by ascending term upper bound; MaxScore essential/
+  non-essential split with pivot + threshold updates (:216-327)
+- conjunctive max-frontier with nextGEQ alignment (:329-412)
+- top-k priority queue with the reference's **tie-collapse quirk**: the
+  TreeSet orders DocumentScore by score only, so a doc whose score equals
+  an existing member is silently dropped (models/DocumentScore.java:6-12)
+- LRU query-result cache keyed by {tokens + query type}, max 500
+  (QueryProcessor.java:36,112-130)
+
+Posting cursors chain the per-(term, part) segments in ascending part
+order; parts are contiguous doc-id ranges, so chained traversal is in
+global doc-id order — identical semantics to the reference's single
+posting list (PostingListInterface.java:100-178), with `nextGEQ` as a
+binary search plus skip-pointer support for the lazily-decoded path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from bisect import bisect_left, insort
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from invertedindex_ray.build import CollectionStats
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions import codec
+from invertedindex_ray.functions.hashing import term_bucket_one
+from invertedindex_ray.functions.scoring import bm25
+from invertedindex_ray.functions.textproc import tokenize, preprocess_token
+from invertedindex_ray.stages.segment import segment_path
+
+
+class IllegalQueryTypeError(ValueError):
+    pass
+
+
+class PostingCursor:
+    """Cursor over one term's postings (all parts chained, decoded arrays).
+
+    Mirrors PostingListInterface: ``next()`` advances one posting and
+    returns False when exhausted (current values keep their last state);
+    ``next_geq(d)`` advances to the first doc id >= d.
+    """
+
+    __slots__ = ("term", "tub", "ids", "tfs", "pos", "doc_id", "tf")
+
+    def __init__(self, term: str, tub: float, ids: np.ndarray, tfs: np.ndarray):
+        self.term = term
+        self.tub = tub
+        self.ids = ids
+        self.tfs = tfs
+        self.pos = -1
+        self.doc_id = -1
+        self.tf = 0
+
+    def next(self) -> bool:
+        p = self.pos + 1
+        if p >= len(self.ids):
+            return False
+        self.pos = p
+        self.doc_id = int(self.ids[p])
+        self.tf = int(self.tfs[p])
+        return True
+
+    def next_geq(self, target: int) -> bool:
+        if self.pos >= len(self.ids):
+            return False
+        if self.doc_id >= target:
+            return True
+        i = int(np.searchsorted(self.ids, target, side="left"))
+        if i >= len(self.ids):
+            # exhausted: current stays at the last posting, like the
+            # reference's while-next loop ending on hasNext == false
+            self.pos = len(self.ids) - 1
+            self.doc_id = int(self.ids[-1])
+            self.tf = int(self.tfs[-1])
+            return False
+        self.pos = i
+        self.doc_id = int(self.ids[i])
+        self.tf = int(self.tfs[i])
+        return True
+
+
+class TopKQueue:
+    """The reference's TreeSet<DocumentScore>: descending-score order where
+    compareTo == 0 collapses entries — equal scores keep only the first
+    inserted doc."""
+
+    __slots__ = ("k", "neg_scores", "by_score")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.neg_scores: list[float] = []  # sorted ascending == score descending
+        self.by_score: dict[float, str] = {}
+
+    def __len__(self) -> int:
+        return len(self.neg_scores)
+
+    def last_score(self) -> float:
+        return -self.neg_scores[-1]
+
+    def add(self, doc_no: str, score: float) -> None:
+        if score in self.by_score:
+            return  # tie-collapse: TreeSet.add is a no-op on compareTo==0
+        insort(self.neg_scores, -score)
+        self.by_score[score] = doc_no
+        if len(self.neg_scores) > self.k:
+            dropped = -self.neg_scores.pop()
+            del self.by_score[dropped]
+
+    def results(self) -> list[tuple[str, float]]:
+        return [(self.by_score[-ns], -ns) for ns in self.neg_scores]
+
+
+class QueryEngine:
+    """Loads a built index and serves `[AND|OR] term1 ... termN` queries.
+
+    Lexicon and doc table are loaded into memory (the reference mmaps both,
+    QueryProcessor.java:44-56); segments are read per term with parquet
+    row-group pruning and cached per (term, part). At true web scale the
+    lexicon load would switch to sorted-parquet binary search and the doc
+    table to a positional fetch — both layouts already support it.
+    """
+
+    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+        self.index_dir = index_dir
+        self.config = config or IndexConfig()
+        self.stats = CollectionStats.load(index_dir)
+
+        lex = pq.read_table(os.path.join(index_dir, "lexicon"))
+        terms = lex["term"].to_pylist()
+        dfs = lex["df"].to_numpy(zero_copy_only=False)
+        cfs = lex["cf"].to_numpy(zero_copy_only=False)
+        tubs = lex["tub"].to_numpy(zero_copy_only=False)
+        self.lexicon: dict[str, tuple[int, int, float]] = {
+            t: (int(d), int(c), float(u)) for t, d, c, u in zip(terms, dfs, cfs, tubs)
+        }
+
+        dt = pq.read_table(os.path.join(index_dir, "doc_table"))
+        order = np.argsort(dt["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
+        self._doc_ids = dt["doc_id"].to_numpy(zero_copy_only=False)[order]
+        self._doc_len = dt["doc_len"].to_numpy(zero_copy_only=False)[order]
+        self._doc_no = np.asarray(dt["url"].to_pylist(), dtype=object)[order]
+        self._dense = bool(
+            len(self._doc_ids)
+            and self._doc_ids[0] == 0
+            and self._doc_ids[-1] == len(self._doc_ids) - 1
+        )
+
+        from invertedindex_ray.stages.explode import part_divisor
+
+        self._n_parts = max(1, self.config.num_doc_partitions)
+        self._divisor = part_divisor(self.config, self.stats.num_docs)
+
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+        self._bucket_files: dict[int, pq.ParquetFile | None] = {}
+        self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
+
+    # ---------- doc table ----------
+
+    def _doc_index(self, doc_id: int) -> int:
+        if self._dense:
+            return doc_id
+        return int(np.searchsorted(self._doc_ids, doc_id))
+
+    def doc_lookup(self, doc_id: int) -> tuple[str, int]:
+        i = self._doc_index(doc_id)
+        return str(self._doc_no[i]), int(self._doc_len[i])
+
+    # ---------- postings ----------
+
+    def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes]]:
+        rows = []
+        for part in range(self._n_parts):
+            b = term_bucket_one(term, part, self.config.num_buckets)
+            path = segment_path(self.index_dir, b)
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(
+                path,
+                columns=["term", "part", "doc_ids_vb", "tfs_vb"],
+                filters=[("term", "=", term), ("part", "=", part)],
+            )
+            for i in range(t.num_rows):
+                rows.append(
+                    (
+                        int(t["part"][i].as_py()),
+                        t["doc_ids_vb"][i].as_py(),
+                        t["tfs_vb"][i].as_py(),
+                    )
+                )
+        rows.sort(key=lambda r: r[0])
+        return rows
+
+    def get_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decoded (doc_ids, tfs) for a term, parts chained in doc-id order."""
+        if term in self._postings_cache:
+            return self._postings_cache[term]
+        rows = self._read_segment_rows(term)
+        if not rows:
+            self._postings_cache[term] = None
+            return None
+        ids_parts, tf_parts = [], []
+        for _, dvb, tvb in rows:
+            ids, tfs = codec.decode_posting_list(dvb, tvb)
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        out = (ids, tfs)
+        self._postings_cache[term] = out
+        return out
+
+    # ---------- query preprocessing (M7) ----------
+
+    def preprocess(self, query: str) -> tuple[str, set[str]]:
+        tokens = tokenize(query)
+        first = tokens[0] if tokens else ""
+        if first == "and":
+            qtype = "and"
+        elif first == "or":
+            qtype = "or"
+        else:
+            raise IllegalQueryTypeError("Input Format: [AND|OR] term1 ... termN")
+        limit = len(tokens)
+        if len(tokens) > self.config.max_query_terms:
+            limit = self.config.max_query_terms + 1
+        token_set: set[str] = set()
+        cfg = self.config
+        for tok in tokens[1:limit]:
+            p = preprocess_token(
+                tok,
+                stemming=cfg.stemming,
+                stopword_removal=cfg.stopwords,
+                max_term_len=cfg.max_term_len,
+            )
+            if p is not None:
+                token_set.add(p)
+        return qtype, token_set
+
+    # ---------- main entry ----------
+
+    def query(self, query: str, k: int | None = None) -> list[tuple[str, float]]:
+        """Run `[AND|OR] terms...`; returns [(doc_no, score)] by descending
+        score (tie-collapsed, <= k entries). Empty list when no results."""
+        k = k if k is not None else self.config.top_k
+        qtype, token_set = self.preprocess(query)
+
+        cache_key = (frozenset(token_set | {qtype}), k)
+        cached = self._query_cache.get(cache_key)
+        if cached is not None:
+            self._query_cache.move_to_end(cache_key)
+            return list(cached)
+
+        cursors: list[PostingCursor] = []
+        lex_rows: dict[str, tuple[int, int, float]] = {}
+        for tok in token_set:
+            row = self.lexicon.get(tok)
+            if row is None:
+                if qtype == "and":
+                    return []  # missing term: conjunctive returns nothing
+                continue
+            lex_rows[tok] = row
+            p = self.get_postings(tok)
+            if p is None:
+                if qtype == "and":
+                    return []
+                continue
+            cursors.append(PostingCursor(tok, row[2], p[0], p[1]))
+
+        # advance each list to its first posting; drop empty ones
+        cursors = [c for c in cursors if c.next()]
+        if not cursors:
+            return []
+        # ascending term upper bound (O4)
+        cursors.sort(key=lambda c: c.tub)
+
+        n = len(cursors)
+        doc_upper = [0.0] * n
+        doc_upper[0] = cursors[0].tub
+        for i in range(1, n):
+            doc_upper[i] = doc_upper[i - 1] + cursors[i].tub
+
+        if qtype == "and":
+            queue = self._conjunctive(cursors, doc_upper, lex_rows, k)
+        else:
+            queue = self._disjunctive(cursors, doc_upper, lex_rows, k)
+
+        results = queue.results()
+        self._query_cache[cache_key] = list(results)
+        self._query_cache.move_to_end(cache_key)
+        while len(self._query_cache) > self.config.query_cache_size:
+            self._query_cache.popitem(last=False)
+        return results
+
+    # ---------- DAAT traversals ----------
+
+    def _score(self, tf: int, doc_len: int, df: int) -> float:
+        return bm25(
+            tf,
+            doc_len,
+            df,
+            self.stats.num_docs,
+            self.stats.avg_doc_len,
+            self.config.bm25_k1,
+            self.config.bm25_b,
+        )
+
+    def _disjunctive(self, cursors, doc_upper, lex_rows, k) -> TopKQueue:
+        # QueryProcessor.processDisjunctiveQuery (:251-327)
+        queue = TopKQueue(k)
+        threshold = 0.0
+        pivot = 0
+        n = len(cursors)
+        current = min(c.doc_id for c in cursors)
+        finished: set[int] = set()
+
+        while current != -1 and pivot < n:
+            if len(finished) == n:
+                break
+            nxt = -1
+            score = 0.0
+            doc_no, doc_len = self.doc_lookup(current)
+
+            # essential lists
+            for i in range(pivot, n):
+                if i in finished:
+                    continue
+                c = cursors[i]
+                if c.doc_id == current:
+                    score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+                    if not c.next():
+                        finished.add(i)
+                if (nxt == -1 or c.doc_id < nxt) and i not in finished:
+                    nxt = c.doc_id
+
+            # non-essential lists (with upper-bound early exit)
+            for i in range(pivot - 1, -1, -1):
+                if i in finished:
+                    continue
+                if score + doc_upper[i] <= threshold:
+                    break
+                c = cursors[i]
+                if not c.next_geq(current):
+                    finished.add(i)
+                if c.doc_id == current:
+                    score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+
+            if len(queue) < k or score > queue.last_score():
+                queue.add(doc_no, score)
+                threshold = queue.last_score() if len(queue) == k else 0.0
+                while pivot < n and doc_upper[pivot] <= threshold:
+                    pivot += 1
+
+            current = nxt
+        return queue
+
+    def _conjunctive(self, cursors, doc_upper, lex_rows, k) -> TopKQueue:
+        # QueryProcessor.processConjunctiveQuery (:329-412)
+        queue = TopKQueue(k)
+        threshold = 0.0
+        pivot = 0
+        n = len(cursors)
+        current = max(c.doc_id for c in cursors)
+        a_list_finished = False
+
+        while pivot < n and not a_list_finished:
+            score = 0.0
+            doc_no, doc_len = self.doc_lookup(current)
+
+            for i in range(pivot, n):
+                c = cursors[i]
+                if not c.next_geq(current):
+                    a_list_finished = True
+                if c.doc_id == current:
+                    score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+                    if not c.next():
+                        a_list_finished = True
+                else:
+                    score = -1.0
+                    break
+
+            if score != -1.0:
+                for i in range(pivot - 1, -1, -1):
+                    if score + doc_upper[i] <= threshold:
+                        break
+                    c = cursors[i]
+                    if not c.next_geq(current):
+                        a_list_finished = True
+                    if c.doc_id == current:
+                        score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+                    else:
+                        score = -1.0
+                        break
+
+            if score != -1.0:
+                if len(queue) < k or score > queue.last_score():
+                    queue.add(doc_no, score)
+                    threshold = queue.last_score() if len(queue) == k else 0.0
+                    while pivot < n and doc_upper[pivot] <= threshold:
+                        pivot += 1
+
+            current = max(c.doc_id for c in cursors)
+        return queue
+
+
+class BruteForceOracle:
+    """Exhaustive scorer used by tests: score every doc per query with the
+    same BM25 and reproduce the tie-collapse top-k semantics — the oracle
+    for rank-identity of the DAAT engine (SURVEY.md §5 rebuild test plan)."""
+
+    def __init__(self, engine: QueryEngine):
+        self.e = engine
+
+    def query(self, query: str, k: int | None = None) -> list[tuple[str, float]]:
+        e = self.e
+        k = k if k is not None else e.config.top_k
+        qtype, token_set = e.preprocess(query)
+        per_doc: dict[int, float] = {}
+        match_count: dict[int, int] = {}
+        terms = []
+        for tok in sorted(token_set):
+            row = e.lexicon.get(tok)
+            p = e.get_postings(tok) if row else None
+            if row is None or p is None:
+                if qtype == "and":
+                    return []
+                continue
+            terms.append(tok)
+            ids, tfs = p
+            df = row[0]
+            for d, tf in zip(ids.tolist(), tfs.tolist()):
+                _, dl = e.doc_lookup(d)
+                s = e._score(int(tf), dl, df)
+                per_doc[d] = per_doc.get(d, 0.0) + s
+                match_count[d] = match_count.get(d, 0) + 1
+        if not terms:
+            return []
+        if qtype == "and":
+            per_doc = {
+                d: s for d, s in per_doc.items() if match_count[d] == len(terms)
+            }
+        queue = TopKQueue(k)
+        # traversal order: ascending doc id (the DAAT frontier order)
+        for d in sorted(per_doc):
+            s = per_doc[d]
+            if len(queue) < k or s > queue.last_score():
+                queue.add(e.doc_lookup(d)[0], s)
+        return queue.results()

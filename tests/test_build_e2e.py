@@ -1,0 +1,356 @@
+"""End-to-end build + retrieval tests on the synthetic pages corpus:
+postings/lexicon/stats correctness vs a pure-Python oracle, DAAT
+rank-identity vs brute force, partition-count invariance, id modes,
+resume-from-manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from invertedindex_ray.build import IndexBuilder, build_index
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.engine import BruteForceOracle, IllegalQueryTypeError, QueryEngine
+from invertedindex_ray.functions.textproc import preprocess_token, tokenize
+from invertedindex_ray.sources.pages import synth_pages_table, synth_pages_texts
+
+N_DOCS = 250
+SEED = 13
+
+
+def _expected_index(texts, urls, cfg: IndexConfig):
+    """Pure-Python oracle: per-doc tokenize -> dense url-sorted ids ->
+    postings, doc table, stats."""
+    docs = []
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        counts: dict[str, int] = {}
+        doc_len = 0
+        for tok in tokenize(text):
+            p = preprocess_token(
+                tok, stemming=cfg.stemming, stopword_removal=cfg.stopwords,
+                max_term_len=cfg.max_term_len,
+            )
+            if p is None:
+                continue
+            doc_len += 1
+            counts[p] = counts.get(p, 0) + 1
+        if doc_len == 0:
+            continue
+        docs.append((url, doc_len, counts))
+    docs.sort(key=lambda d: d[0])  # dense ids = sorted-url rank
+    postings: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, (url, doc_len, counts) in enumerate(docs):
+        for term, tf in counts.items():
+            postings.setdefault(term, []).append((doc_id, tf))
+    return docs, postings
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    d = tmp_path_factory.mktemp("e2e")
+    table = synth_pages_table(N_DOCS, seed=SEED)
+    pages_path = str(d / "pages.parquet")
+    pq.write_table(table, pages_path)
+    cfg = IndexConfig(num_doc_partitions=2, num_buckets=8)
+    idx_dir = str(d / "index")
+    pages = rd.read_parquet(pages_path, columns=["url", "text"])
+    stats = build_index(pages, idx_dir, cfg, tokenize_concurrency=2)
+    return table, cfg, idx_dir, stats
+
+
+class TestBuildCorrectness:
+    def test_stats_match_oracle(self, built):
+        table, cfg, idx_dir, stats = built
+        docs, _ = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        assert stats.num_docs == len(docs)
+        assert stats.total_tokens == sum(d[1] for d in docs)
+        assert stats.avg_doc_len == stats.total_tokens / stats.num_docs
+
+    def test_doc_table_matches_oracle(self, built):
+        import pyarrow.parquet as pq
+
+        table, cfg, idx_dir, stats = built
+        docs, _ = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        dt = pq.read_table(os.path.join(idx_dir, "doc_table"))
+        got = sorted(
+            zip(
+                dt["doc_id"].to_pylist(),
+                dt["url"].to_pylist(),
+                dt["doc_len"].to_pylist(),
+            )
+        )
+        expected = [(i, u, l) for i, (u, l, _) in enumerate(docs)]
+        assert got == expected
+
+    def test_lexicon_df_cf_match_oracle(self, built):
+        import pyarrow.parquet as pq
+
+        table, cfg, idx_dir, stats = built
+        _, postings = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        lex = pq.read_table(os.path.join(idx_dir, "lexicon"))
+        got = {
+            t: (df, cf)
+            for t, df, cf in zip(
+                lex["term"].to_pylist(), lex["df"].to_pylist(), lex["cf"].to_pylist()
+            )
+        }
+        expected = {
+            t: (len(pl), sum(tf for _, tf in pl)) for t, pl in postings.items()
+        }
+        assert got == expected
+
+    def test_lexicon_sorted_by_term(self, built):
+        import pyarrow.parquet as pq
+
+        _, _, idx_dir, _ = built
+        lex = pq.read_table(os.path.join(idx_dir, "lexicon"))
+        terms = lex["term"].to_pylist()
+        assert terms == sorted(terms)
+
+    def test_postings_match_oracle(self, built):
+        table, cfg, idx_dir, stats = built
+        _, postings = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        e = QueryEngine(idx_dir, cfg)
+        for term, pl in postings.items():
+            got = e.get_postings(term)
+            assert got is not None, term
+            ids, tfs = got
+            assert ids.tolist() == [d for d, _ in pl], term
+            assert tfs.tolist() == [tf for _, tf in pl], term
+
+    def test_term_upper_bound_is_max_bm25(self, built):
+        table, cfg, idx_dir, stats = built
+        _, postings = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        from invertedindex_ray.functions.scoring import bm25
+
+        e = QueryEngine(idx_dir, cfg)
+        for term, (df, cf, tub) in list(e.lexicon.items())[:50]:
+            pl = postings[term]
+            expected = max(
+                bm25(tf, e.doc_lookup(d)[1], df, stats.num_docs, stats.avg_doc_len)
+                for d, tf in pl
+            )
+            assert tub == expected, term
+
+
+QUERIES = [
+    "OR data index search",
+    "AND data index",
+    "or ranking retrieval posting compression streaming",
+    "AND web crawl",
+    "OR running jumped quickly happily",
+    "OR data",
+    "AND data",
+    "OR nonexistentterm data",
+    "AND nonexistentterm data",
+    "OR the and of",  # all stopwords
+    "OR caf caffe unicode noise",
+]
+
+
+def _canonical(results):
+    """Rank list modulo 1-ulp tie effects: the engine sums per-term scores
+    in the reference's pivot-dependent order (QueryProcessor.java:278-305),
+    the oracle in a fixed order; two docs with identical score profiles can
+    therefore collapse on one side and differ by 1 ulp on the other. Round
+    to 9 dp and keep the first doc per rounded score — rank-identity holds
+    on that canonical form; exact tie-collapse is covered by
+    TestTieCollapseEndToEnd with single-term (sum-free) scores."""
+    out, seen = [], set()
+    for d, s in results:
+        r = round(s, 9)
+        if r in seen:
+            continue
+        seen.add(r)
+        out.append((d, r))
+    return out
+
+
+class TestRetrievalRankIdentity:
+    @pytest.mark.parametrize("k", [5, 10, 100])
+    def test_daat_matches_bruteforce(self, built, k):
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        o = BruteForceOracle(e)
+        for q in QUERIES:
+            r_e = _canonical(e.query(q, k))
+            r_o = _canonical(o.query(q, k))
+            n = min(len(r_e), len(r_o))
+            assert abs(len(r_e) - len(r_o)) <= 2, q
+            assert r_e[:n] == r_o[:n], q
+
+    def test_conjunctive_is_subset_of_disjunctive_terms(self, built):
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        and_r = e.query("AND data index", 100)
+        # every AND result doc must contain every term
+        ids_data = set(e.get_postings("data")[0].tolist())
+        ids_index = set(e.get_postings("index")[0].tolist())
+        both = ids_data & ids_index
+        both_urls = {e.doc_lookup(d)[0] for d in both}
+        assert {d for d, _ in and_r} <= both_urls
+
+    def test_invalid_query_type_raises(self, built):
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        with pytest.raises(IllegalQueryTypeError):
+            e.query("data index")
+        with pytest.raises(IllegalQueryTypeError):
+            e.query("")
+
+    def test_query_cache_returns_same(self, built):
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        a = e.query("OR data index", 10)
+        b = e.query("or data  index!!", 10)  # same tokens after preprocessing
+        assert a == b
+
+    def test_max_query_terms_truncated(self, built):
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        long_q = "OR " + " ".join(f"word{i}" for i in range(40)) + " data"
+        # 'data' is the 41st term -> ignored (MAX_QUERY_LENGTH=32)
+        qtype, toks = e.preprocess(long_q)
+        assert "data" not in toks
+        assert len(toks) <= 32
+
+
+class TestPartitionInvariance:
+    """Same corpus, different physical layout -> identical query results."""
+
+    @pytest.mark.parametrize("cfg2", [
+        IndexConfig(num_doc_partitions=1, num_buckets=3),
+        IndexConfig(num_doc_partitions=5, num_buckets=16),
+    ], ids=["P1-B3", "P5-B16"])
+    def test_results_invariant(self, built, tmp_path, cfg2, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        table, cfg, idx_dir, _ = built
+        pages_path = str(tmp_path / "pages.parquet")
+        pq.write_table(table, pages_path)
+        idx2 = str(tmp_path / "index2")
+        build_index(
+            rd.read_parquet(pages_path, columns=["url", "text"]),
+            idx2, cfg2, tokenize_concurrency=2,
+        )
+        e1 = QueryEngine(idx_dir, cfg)
+        e2 = QueryEngine(idx2, cfg2)
+        for q in QUERIES[:6]:
+            assert e1.query(q, 10) == e2.query(q, 10), q
+
+
+class TestTieCollapseEndToEnd:
+    """Two identical docs + a single-term query: scores are one BM25 term
+    (no float sum), hence EXACTLY equal -> the reference's TreeSet quirk
+    must drop the later doc (DocumentScore.java:6-12)."""
+
+    def test_duplicate_docs_collapse(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        # doc 2 has a different doc_len so its score differs from docs 0/1
+        texts = ["zebra unique wording here", "zebra unique wording here",
+                 "zebra something else entirely different words", "filler words about nothing"]
+        urls = [f"https://t/{i}" for i in range(len(texts))]
+        table = pa.table({"url": urls, "text": texts})
+        pq.write_table(table, str(tmp_path / "p.parquet"))
+        cfg = IndexConfig(num_buckets=2)
+        idx = str(tmp_path / "idx")
+        build_index(rd.read_parquet(str(tmp_path / "p.parquet")), idx, cfg,
+                    tokenize_concurrency=2)
+        e = QueryEngine(idx, cfg)
+        r = e.query("OR zebra", 10)
+        docs = [d for d, _ in r]
+        # doc 0 and doc 1 are identical -> equal scores -> only the first
+        # (lowest doc id in traversal order) survives
+        assert "https://t/0" in docs
+        assert "https://t/1" not in docs
+        assert "https://t/2" in docs
+
+    def test_and_mode_collapse(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        texts = ["apple banana", "apple banana", "apple banana cherry"]
+        urls = [f"https://t/{i}" for i in range(len(texts))]
+        pq.write_table(pa.table({"url": urls, "text": texts}),
+                       str(tmp_path / "p.parquet"))
+        cfg = IndexConfig(num_buckets=2)
+        idx = str(tmp_path / "idx")
+        build_index(rd.read_parquet(str(tmp_path / "p.parquet")), idx, cfg,
+                    tokenize_concurrency=2)
+        e = QueryEngine(idx, cfg)
+        docs = [d for d, _ in e.query("AND apple banana", 10)]
+        assert "https://t/0" in docs
+        assert "https://t/1" not in docs  # exact tie with doc 0 collapsed
+
+
+class TestResume:
+    def test_second_build_skips_everything(self, built, ray_session):
+        table, cfg, idx_dir, stats = built
+        # wreck nothing; re-run builder — all stages marked complete
+        b = IndexBuilder(idx_dir, cfg)
+        assert b.manifest.stage_complete("tokenized")
+        assert b.manifest.stage_complete("segments")
+        s2 = b.build(pages=None)  # pages unused when tokenized checkpoint exists
+        assert s2.num_docs == stats.num_docs
+
+    def test_manifest_fingerprint_guard(self, built):
+        _, cfg, idx_dir, _ = built
+        other = IndexConfig(stemming=False)
+        b = IndexBuilder(idx_dir, other)
+        # different config -> fresh manifest, no stage reuse
+        assert not b.manifest.stage_complete("tokenized")
+
+    def test_manifest_metrics_recorded(self, built):
+        _, _, idx_dir, stats = built
+        with open(os.path.join(idx_dir, "manifest.json")) as f:
+            m = json.load(f)
+        assert m["stages"]["stats"]["num_docs"] == stats.num_docs
+        assert m["stages"]["segments"]["segment_entries"] > 0
+
+
+class TestHashIdMode:
+    def test_hash_mode_same_result_sets(self, built, tmp_path, ray_session):
+        """hash ids change traversal order (and so tie-breaks) but the
+        returned (url, score) sets for tie-free queries must match."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        table, cfg, idx_dir, _ = built
+        pages_path = str(tmp_path / "pages.parquet")
+        pq.write_table(table, pages_path)
+        idxh = str(tmp_path / "index-hash")
+        cfgh = IndexConfig(id_mode="hash", num_doc_partitions=3, num_buckets=8)
+        build_index(
+            rd.read_parquet(pages_path, columns=["url", "text"]),
+            idxh, cfgh, tokenize_concurrency=2,
+        )
+        e1 = QueryEngine(idx_dir, cfg)
+        e2 = QueryEngine(idxh, cfgh)
+        for q in ["OR posting lexicon", "AND data index"]:
+            r1, r2 = e1.query(q, 10), e2.query(q, 10)
+            s1 = {(d, round(s, 9)) for d, s in r1}
+            s2 = {(d, round(s, 9)) for d, s in r2}
+            assert s1 == s2, q
