@@ -1,44 +1,236 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``    — flagship pipeline: build the full inverted index from the
+                 sf0.001 pages corpus (input-hint shape) and run the fixed
+                 query batch through the MaxScore DAAT engine.
+``queries()``  — one callable per implemented operator/pipeline
+                 (SURVEY.md §2 + the training-data ops).
+``oracle_sql()`` — DuckDB mirror for every SQL-expressible pipeline.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+from invertedindex_ray import __version__
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions.textproc import STOPWORDS
+from invertedindex_ray.pipelines.query_sets import DRIVER_QUERY_SET
+
+_K = 20
+
+
+# ---------------------------------------------------------------- helpers
+
+def _index_dir_for(sf_dir: str, cfg: IndexConfig) -> str:
+    key = hashlib.sha256(
+        f"{sf_dir}|{cfg.fingerprint()}|{__version__}".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", f"iidx-cache-{key}")
+
+
+def _built_engine(sf_dir: str, cfg: IndexConfig):
+    """Build (or resume from cache) the index over the pages view of the
+    documents table, return a QueryEngine."""
+    from invertedindex_ray.build import IndexBuilder
+    from invertedindex_ray.engine import QueryEngine
+    from invertedindex_ray.sources.pages import read_pages_from_documents
+
+    idx = _index_dir_for(sf_dir, cfg)
+    builder = IndexBuilder(idx, cfg)
+    if not builder.manifest.stage_complete("build"):
+        pages = read_pages_from_documents(sf_dir)
+        builder.build(pages)
+    return QueryEngine(idx, cfg)
+
+
+def _daat_results_table(sf_dir: str, qtype_filter: str | None = None):
+    import pyarrow as pa
+
+    cfg = IndexConfig()  # stemming+stopwords on: the reference default
+    e = _built_engine(sf_dir, cfg)
+    qids, urls, scores, ranks = [], [], [], []
+    for qid, q in DRIVER_QUERY_SET:
+        if qtype_filter and not q.lower().startswith(qtype_filter):
+            continue
+        res = e.query(q, _K)
+        for r, (doc_no, score) in enumerate(res, 1):
+            qids.append(qid)
+            urls.append(doc_no)
+            scores.append(round(score, 9))
+            ranks.append(r)
+    return pa.table(
+        {
+            "qid": pa.array(qids, type=pa.string()),
+            "url": pa.array(urls, type=pa.string()),
+            "score_r": pa.array(scores, type=pa.float64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full index build + DAAT query batch on sf0.001."""
+    return _daat_results_table("/root/testdata/sf0.001").to_pandas()
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from invertedindex_ray.pipelines import analytics
+    from invertedindex_ray.pipelines.batch_query import batch_topk
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- index-build operators (SQL-checked, stemming=False path) ---
+        "doc_stats": lambda sf: analytics.doc_stats(sf),
+        "collection_stats": lambda sf: analytics.collection_stats(sf),
+        "postings": lambda sf: analytics.postings(sf),
+        "lexicon": lambda sf: analytics.lexicon(sf),
+        "term_upper_bounds": lambda sf: analytics.term_upper_bounds(sf),
+        # --- batch retrieval (SQL-checked) ---
+        "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
+        # --- full engine: stemmed index + MaxScore DAAT (rows-only) ---
+        "topk_daat": lambda sf: _daat_results_table(sf).to_pandas(),
+    }
+    return q
+
+
+# ---------------------------------------------------------------- oracle
+
+def _stoplist_sql() -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
+
+
+_BASE_CTE = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(regexp_replace(lower(text), '[^a-zA-Z0-9]', ' ', 'g'), ' +')) AS tok
+  FROM documents
+  WHERE length(text) > 0
+),
+kept AS (
+  SELECT doc_id, substr(tok, 1, 20) AS term
+  FROM toks
+  WHERE tok NOT IN ({stoplist})
+),
+docstats AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_len FROM kept GROUP BY doc_id
+)
+"""
+
+
+def _base(extra: str = "") -> str:
+    return "WITH " + _BASE_CTE.format(stoplist=_stoplist_sql()) + extra
+
+
+def _topk_batch_sql() -> str:
+    from invertedindex_ray.pipelines.batch_query import parse_queries
+    from invertedindex_ray.pipelines.analytics import NOSTEM
+
+    parsed = parse_queries(DRIVER_QUERY_SET, NOSTEM)
+    qterm_rows, qmeta_rows = [], []
+    for qid, qtype, terms in parsed:
+        qmeta_rows.append(f"('{qid}', '{qtype}', {len(terms)})")
+        for t in sorted(terms):
+            qterm_rows.append(f"('{qid}', '{t}')")
+    qterms = ", ".join(qterm_rows) if qterm_rows else "('__none__', '__none__')"
+    qmeta = ", ".join(qmeta_rows)
+    return _base(
+        f""",
+cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs, sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+  FROM docstats
+),
+qterms(qid, term) AS (VALUES {qterms}),
+qmeta(qid, qtype, n_req) AS (VALUES {qmeta}),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+persc AS (
+  SELECT t.term, t.doc_id,
+         (t.tf::DOUBLE / ((1.2 * ((1 - 0.75) + 0.75 * (d.doc_len::DOUBLE / c.avg_doc_len))) + t.tf))
+           * ln(c.num_docs / l.df) AS score
+  FROM tfs t
+  JOIN docstats d USING (doc_id)
+  JOIN lex l USING (term)
+  CROSS JOIN cstats c
+),
+dead AS (
+  SELECT m.qid FROM qmeta m
+  WHERE m.qtype = 'and'
+    AND EXISTS (
+      SELECT 1 FROM qterms q
+      WHERE q.qid = m.qid AND q.term NOT IN (SELECT term FROM lex)
+    )
+),
+qs AS (
+  SELECT q.qid, p.doc_id, sum(p.score) AS score, count(*) AS n_hit
+  FROM qterms q JOIN persc p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT s.qid, s.doc_id, round(s.score, 9) AS score_r,
+         row_number() OVER (
+           PARTITION BY s.qid ORDER BY round(s.score, 9) DESC, s.doc_id
+         ) AS rank
+  FROM qs s
+  JOIN qmeta m ON m.qid = s.qid
+  WHERE (m.qtype = 'or' OR s.n_hit = m.n_req)
+    AND s.qid NOT IN (SELECT qid FROM dead)
+)
+SELECT qid, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": _base("SELECT doc_id, doc_len FROM docstats"),
+        "collection_stats": _base(
+            """SELECT count(*)::BIGINT AS num_docs,
+       sum(doc_len)::BIGINT AS total_tokens,
+       sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+FROM docstats"""
+        ),
+        "postings": _base(
+            "SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id"
+        ),
+        "lexicon": _base(
+            """, tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term"""
+        ),
+        "term_upper_bounds": _base(
+            """, cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs, sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+  FROM docstats
+),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+)
+SELECT t.term,
+       count(*)::BIGINT AS df,
+       sum(t.tf)::BIGINT AS cf,
+       round(
+         max(t.tf::DOUBLE / ((1.2 * ((1 - 0.75) + 0.75 * (d.doc_len::DOUBLE / c.avg_doc_len))) + t.tf))
+           * ln(c.num_docs / count(*)),
+         6
+       ) AS tub_r
+FROM tfs t
+JOIN docstats d USING (doc_id)
+CROSS JOIN cstats c
+GROUP BY t.term, c.num_docs, c.avg_doc_len"""
+        ),
+        "topk_batch": _topk_batch_sql(),
+    }

@@ -1,0 +1,204 @@
+"""Analytical index pipelines over the ``documents`` table — each one is a
+small Ray Data pipeline with an exact DuckDB-SQL mirror (driver correctness
+gate). They exercise the same operators the index build uses (M1-M6,
+A1-A4 in SURVEY.md §2) in SQL-checkable form; the full binary index build
+and DAAT engine are exercised by entry()/topk_daat and pytest.
+
+All pipelines here run with ``stemming=False`` (an official reference
+config, application.properties) because no SQL stemmer exists in DuckDB
+offline; the stemmed path is pytest-gated against Porter2 vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions.scoring import bm25_partial
+from invertedindex_ray.stages.tokenize import TokenizeStage
+
+NOSTEM = IndexConfig(stemming=False)
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+class _TokenizeDocs(TokenizeStage):
+    """TokenizeStage keyed by doc_id instead of url (documents table)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        import pyarrow.compute as pc
+
+        from invertedindex_ray.functions.textproc import tokenize_docs
+
+        cfg = self.config
+        terms, tfs, doc_len = tokenize_docs(
+            batch["text"],
+            stemming=cfg.stemming,
+            stopword_removal=cfg.stopwords,
+            max_term_len=cfg.max_term_len,
+            memo=self.memo,
+        )
+        ids = batch["doc_id"]
+        out = pa.table(
+            {
+                "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                "doc_len": pa.array(doc_len, type=pa.int32()),
+                "terms": terms,
+                "tfs": tfs,
+            }
+        )
+        return out.filter(pc.greater(out["doc_len"], 0))
+
+
+def _tokenized(sf_dir: str, cfg: IndexConfig):
+    return _read_docs(sf_dir).map_batches(
+        _TokenizeDocs,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=4,
+    )
+
+
+def _explode_batch(batch: pa.Table) -> pa.Table:
+    terms = batch["terms"]
+    terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    tfs = batch["tfs"]
+    tfs = tfs.combine_chunks() if isinstance(tfs, pa.ChunkedArray) else tfs
+    offsets = terms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    doc_len = batch["doc_len"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term": terms.values,
+            "doc_id": pa.array(np.repeat(doc_id, lengths), type=pa.int64()),
+            "tf": tfs.values.cast(pa.int64()),
+            "doc_len": pa.array(np.repeat(doc_len, lengths).astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+# ---------- M1-M5: per-doc stats ----------
+
+def doc_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """(doc_id, doc_len) for docs surviving the empty/stopword-only filter."""
+    return _tokenized(sf_dir, cfg).select_columns(["doc_id", "doc_len"]).map_batches(
+        lambda t: t.set_column(1, "doc_len", t["doc_len"].cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+# ---------- A1: collection statistics ----------
+
+def collection_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """One row: num_docs, total_tokens, avg_doc_len (Indexer.java:129-131)."""
+    from ray.data.aggregate import Count, Sum
+
+    slim = _tokenized(sf_dir, cfg).select_columns(["doc_len"])
+    agg = slim.aggregate(Count(), Sum("doc_len"))
+    n = int(agg["count()"])
+    tot = int(agg["sum(doc_len)"] or 0)
+    return pa.table(
+        {
+            "num_docs": pa.array([n], type=pa.int64()),
+            "total_tokens": pa.array([tot], type=pa.int64()),
+            "avg_doc_len": pa.array([tot / n if n else 0.0], type=pa.float64()),
+        }
+    )
+
+
+# ---------- postings + lexicon (A2/A3) ----------
+
+def postings(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """(term, doc_id, tf) posting rows."""
+    return _tokenized(sf_dir, cfg).map_batches(
+        _explode_batch, batch_format="pyarrow"
+    ).select_columns(["term", "doc_id", "tf"])
+
+
+def lexicon(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """(term, df, cf) — pre-aggregated per batch before the groupby
+    (partial-combine pattern: the shuffle moves one row per distinct term
+    per batch, not one per posting)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _explode_batch(batch)
+        term = t["term"]
+        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
+        d = pc.dictionary_encode(term)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        n = len(d.dictionary)
+        df_p = np.bincount(codes, minlength=n)
+        cf_p = np.bincount(codes, weights=tf, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "term": d.dictionary,
+                "df_p": pa.array(df_p.astype(np.int64), type=pa.int64()),
+                "cf_p": pa.array(cf_p, type=pa.int64()),
+            }
+        )
+
+    parts = _tokenized(sf_dir, cfg).map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("term").aggregate(
+        Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+    )
+
+
+# ---------- A4: term upper bounds ----------
+
+def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """(term, df, cf, tub_r): max BM25 contribution per term, rounded to
+    6 dp (LexiconTermBinaryIndexing.computeStatistics)."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    stats = collection_stats(sf_dir, cfg)
+    n_docs = int(stats["num_docs"][0].as_py())
+    avg = float(stats["avg_doc_len"][0].as_py())
+
+    def with_partial(batch: pa.Table) -> pa.Table:
+        t = _explode_batch(batch)
+        part = bm25_partial(
+            t["tf"].to_numpy(zero_copy_only=False),
+            t["doc_len"].to_numpy(zero_copy_only=False),
+            avg, cfg.bm25_k1, cfg.bm25_b,
+        )
+        return t.append_column("partial", pa.array(part, type=pa.float64()))
+
+    rows = _tokenized(sf_dir, cfg).map_batches(with_partial, batch_format="pyarrow")
+    agg = rows.groupby("term").aggregate(
+        Count(alias_name="df"),
+        Sum("tf", alias_name="cf"),
+        Max("partial", alias_name="maxp"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        maxp = batch["maxp"].to_numpy(zero_copy_only=False)
+        tub = np.fromiter(
+            (m * math.log(n_docs / int(d)) for m, d in zip(maxp, df)),
+            dtype=np.float64, count=len(df),
+        )
+        return pa.table(
+            {
+                "term": batch["term"].combine_chunks()
+                if isinstance(batch["term"], pa.ChunkedArray)
+                else batch["term"],
+                "df": batch["df"].cast(pa.int64()),
+                "cf": batch["cf"].cast(pa.int64()),
+                "tub_r": pa.array(np.round(tub, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,194 @@
+"""Distributed batch retrieval: score a query set against the corpus as a
+pure Ray Data pipeline (the batch analog of the interactive DAAT engine —
+SURVEY.md §2 O3/S5 rows; semantics = exhaustive BM25, deterministic
+(score DESC, doc_id ASC) top-k with scores rounded to 9 dp).
+
+Shape: tokenize -> explode -> semi-join on broadcast query terms ->
+per-(qid, doc) partial-sum inside map_batches -> groupby(qid, doc_id)
+aggregate -> per-qid top-k via map_groups. The only shuffles are the tiny
+df aggregate and the (qid, doc_id) score aggregate over matching postings.
+
+Used as the SQL-checkable retrieval gate: DuckDB mirrors every step
+(see __ray_entry__.oracle_sql); the MaxScore DAAT engine is verified
+rank-identical to this exhaustive scoring in pytest.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions.textproc import preprocess_token, tokenize
+from invertedindex_ray.pipelines.analytics import (
+    NOSTEM,
+    _explode_batch,
+    _tokenized,
+    collection_stats,
+)
+
+
+def parse_queries(queries: list[tuple[str, str]], cfg: IndexConfig):
+    """[(qid, '[AND|OR] text')] -> [(qid, qtype, frozenset(terms))] using the
+    reference's query preprocessing (QueryProcessor.java:135-174)."""
+    out = []
+    for qid, q in queries:
+        toks = tokenize(q)
+        qtype = toks[0] if toks else ""
+        if qtype not in ("and", "or"):
+            continue
+        limit = len(toks)
+        if len(toks) > cfg.max_query_terms:
+            limit = cfg.max_query_terms + 1
+        terms = set()
+        for t in toks[1:limit]:
+            p = preprocess_token(
+                t, stemming=cfg.stemming, stopword_removal=cfg.stopwords,
+                max_term_len=cfg.max_term_len,
+            )
+            if p is not None:
+                terms.add(p)
+        out.append((qid, qtype, frozenset(terms)))
+    return out
+
+
+def batch_topk(
+    sf_dir: str,
+    queries: list[tuple[str, str]],
+    k: int = 20,
+    cfg: IndexConfig = NOSTEM,
+) -> pa.Table:
+    """Returns (qid, doc_id, score_r, rank) for every query.
+
+    AND semantics follow the reference: if any query term is absent from
+    the corpus the query returns nothing; otherwise docs must match every
+    term. OR ignores missing terms.
+    """
+    parsed = parse_queries(queries, cfg)
+    all_terms = sorted(set().union(*[t for _, _, t in parsed]) if parsed else set())
+    if not all_terms:
+        return pa.table(
+            {"qid": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "score_r": pa.array([], type=pa.float64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+
+    stats = collection_stats(sf_dir, cfg)
+    n_docs = int(stats["num_docs"][0].as_py())
+    avg = float(stats["avg_doc_len"][0].as_py())
+    term_set = frozenset(all_terms)
+
+    def matching_postings(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _explode_batch(batch)
+        mask = pc.is_in(t["term"], value_set=pa.array(sorted(term_set), type=pa.string()))
+        return t.filter(mask)
+
+    post = _tokenized(sf_dir, cfg).map_batches(matching_postings, batch_format="pyarrow")
+    # df for the (few) query terms — a tiny shuffle
+    from ray.data.aggregate import Count
+
+    df_tbl = post.groupby("term").aggregate(Count(alias_name="df"))
+    df_map = {
+        r["term"]: int(r["df"]) for r in df_tbl.take_all()
+    }
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.fromiter((df_map[t] for t in terms), dtype=np.int64, count=len(terms))
+        idf = np.fromiter(
+            (math.log(n_docs / int(d)) for d in df), dtype=np.float64, count=len(df)
+        )
+        partial = tf / ((k1 * ((1 - b) + b * (dl / avg))) + tf)
+        return pa.table(
+            {
+                "term": batch["term"].combine_chunks()
+                if isinstance(batch["term"], pa.ChunkedArray)
+                else batch["term"],
+                "doc_id": batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                "score": pa.array(partial * idf, type=pa.float64()),
+            }
+        )
+
+    scored = post.map_batches(score_rows, batch_format="pyarrow")
+
+    # expand to (qid, doc_id, score, hit) rows per query containing the term
+    term_to_queries: dict[str, list[str]] = {}
+    and_n_required: dict[str, int] = {}
+    dead_qids = set()
+    for qid, qtype, terms in parsed:
+        present = [t for t in terms if t in df_map]
+        if qtype == "and":
+            if len(present) < len(terms) or not terms:
+                dead_qids.add(qid)  # missing term -> no results
+                continue
+            and_n_required[qid] = len(terms)
+        if not present:
+            dead_qids.add(qid)
+            continue
+        for t in present:
+            term_to_queries.setdefault(t, []).append(qid)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        qids, d_out, s_out = [], [], []
+        for i, t in enumerate(terms):
+            for qid in term_to_queries.get(t, ()):
+                qids.append(qid)
+                d_out.append(doc_id[i])
+                s_out.append(score[i])
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.string()),
+                "doc_id": pa.array(np.asarray(d_out, dtype=np.int64), type=pa.int64()),
+                "score": pa.array(np.asarray(s_out, dtype=np.float64), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Count as Cnt, Sum
+
+    per_doc = (
+        scored.map_batches(fanout, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("score", alias_name="score"), Cnt(alias_name="n_hit"))
+    )
+
+    import pandas as pd
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["qid"].iloc[0]
+        need = and_n_required.get(qid)
+        if need is not None:
+            g = g[g["n_hit"] == need]
+        g = g.assign(score_r=g["score"].round(9))
+        g = g.sort_values(["score_r", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "doc_id", "score_r", "rank"]]
+
+    out = per_doc.groupby("qid").map_groups(topk_group, batch_format="pandas")
+    res = out.to_pandas()
+    if len(res):
+        res = res[~res["qid"].isin(dead_qids)]
+        res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        res.astype({"qid": str, "doc_id": np.int64, "score_r": np.float64, "rank": np.int64}),
+        preserve_index=False,
+    ) if len(res) else pa.table(
+        {"qid": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "score_r": pa.array([], type=pa.float64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
