@@ -85,7 +85,13 @@ def entry() -> Any:
 # ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from invertedindex_ray.pipelines import analytics
+    from invertedindex_ray.pipelines import (
+        analytics,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
     from invertedindex_ray.pipelines.batch_query import batch_topk
 
     q: dict[str, Callable[[str], Any]] = {
@@ -99,6 +105,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
         # --- full engine: stemmed index + MaxScore DAAT (rows-only) ---
         "topk_daat": lambda sf: _daat_results_table(sf).to_pandas(),
+        # --- dedup family ---
+        "dedup_exact": lambda sf: dedup.exact_dedup(sf),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "dedup_simhash": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
+        "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(sf, tau=0.4),
+        # --- similarity search ---
+        "ann_topk": lambda sf: similarity.ann_topk(sf, n_queries=5, k=10),
+        "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
+        # --- text analysis ---
+        "token_count": lambda sf: textstats.token_count(sf),
+        "quality_score": lambda sf: textstats.quality_score(sf),
+        "lang_id": lambda sf: textstats.lang_id(sf),
+        "fingerprint_md5": lambda sf: textstats.fingerprint_md5(sf),
+        "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
+        # --- multimodal plumbing ---
+        "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
+        "decode_features": lambda sf: multimodal.decode_features(sf),
     }
     return q
 
@@ -233,4 +257,85 @@ CROSS JOIN cstats c
 GROUP BY t.term, c.num_docs, c.avg_doc_len"""
         ),
         "topk_batch": _topk_batch_sql(),
+        "dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, greatest(len(a)-2, 0))) AS i) g
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT co.doc_a, co.doc_b,
+       round(co.inter::DOUBLE / (sa.n + sb.n - co.inter), 6) AS jaccard_r
+FROM co
+JOIN sz sa ON sa.doc_id = co.doc_a
+JOIN sz sb ON sb.doc_id = co.doc_b
+WHERE co.inter::DOUBLE / (sa.n + sb.n - co.inter) >= 0.5
+""",
+        "dedup_embedding": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_r
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT qid, vec_id, cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_r, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+""",
+        "token_count": (
+            "SELECT doc_id, length(list_filter("
+            "regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_score": f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tstats AS (
+  SELECT doc_id, count(*) AS n_tok,
+         count(*) FILTER (tok IN ({_stoplist_sql()})) AS n_stop
+  FROM tk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars_t,
+       CASE WHEN length(d.text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(d.text), 6)
+       END AS alpha_ratio_r,
+       CASE WHEN coalesce(t.n_tok, 0) = 0 THEN 0.0
+            ELSE round(t.n_stop::DOUBLE / t.n_tok, 6)
+       END AS stop_ratio_r
+FROM documents d LEFT JOIN tstats t USING (doc_id)
+""",
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "binary_metadata": (
+            "SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url, "
+            "(26 + strlen(text))::BIGINT AS n_bytes, 'text/html' AS kind FROM documents"
+        ),
     }

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions.rounding import round_half_up
 from invertedindex_ray.functions.scoring import bm25_partial
 from invertedindex_ray.stages.tokenize import TokenizeStage
 
@@ -197,7 +198,7 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
                 else batch["term"],
                 "df": batch["df"].cast(pa.int64()),
                 "cf": batch["cf"].cast(pa.int64()),
-                "tub_r": pa.array(np.round(tub, 6), type=pa.float64()),
+                "tub_r": pa.array(round_half_up(tub, 6), type=pa.float64()),
             }
         )
 

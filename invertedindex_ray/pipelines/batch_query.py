@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.functions.rounding import round_half_up
 from invertedindex_ray.functions.textproc import preprocess_token, tokenize
 from invertedindex_ray.pipelines.analytics import (
     NOSTEM,
@@ -172,7 +173,7 @@ def batch_topk(
         need = and_n_required.get(qid)
         if need is not None:
             g = g[g["n_hit"] == need]
-        g = g.assign(score_r=g["score"].round(9))
+        g = g.assign(score_r=round_half_up(g["score"].to_numpy(), 9))
         g = g.sort_values(["score_r", "doc_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
