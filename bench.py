@@ -1,0 +1,195 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-component sec...}, "sf": <sf>, "num_cpus": N,
+   "detail": {...throughputs...}}
+
+Env:
+  GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS    ray.init num_cpus (default 32)
+  BENCH_COMPONENTS  comma list (default all): build,daat,topk_batch,
+                    dedup_minhash,ann
+
+`--scaling` runs the headline index build twice in fresh processes
+(num_cpus=8 then 32) on the same corpus and reports throughputs +
+scaling efficiency (BASELINE.md criterion: >= 0.8 between N and 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+# bench corpus sizes (docs avg ~180 tokens, ~6x an MS MARCO passage)
+CORPUS_DOCS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from invertedindex_ray.build import build_index
+    from invertedindex_ray.config import IndexConfig
+    from invertedindex_ray.sources.bench_corpus import ensure_corpus
+
+    sf = _sf_of(sf_dir)
+    n_docs = CORPUS_DOCS.get(sf, 20_000)
+    corpus = ensure_corpus(n_docs)
+
+    queries: dict[str, float] = {}
+    detail: dict[str, float] = {}
+
+    # warm: page cache + worker pool (untimed)
+    rd.read_parquet(corpus, columns=["url"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
+
+    idx_dir = f"/tmp/iidx-bench-index-{sf}-{num_cpus}"
+    cfg = IndexConfig(num_doc_partitions=4, num_buckets=max(32, num_cpus * 2))
+
+    if "build" in components:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        stats = build_index(
+            rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg
+        )
+        dt = time.time() - t0
+        queries["build"] = round(dt, 3)
+        detail["build_docs_per_s"] = round(stats.num_docs / dt, 1)
+        detail["build_tokens_per_s"] = round(stats.total_tokens / dt, 1)
+        detail["num_docs"] = stats.num_docs
+
+    if "daat" in components:
+        import numpy as np
+
+        from invertedindex_ray.engine import QueryEngine
+        from invertedindex_ray.pipelines.query_sets import reference_query_set
+        from invertedindex_ray.sources.bench_corpus import _WORDS
+
+        e = QueryEngine(idx_dir, cfg)
+
+        # (a) in-vocabulary queries: real DAAT traversal over hot postings
+        rng = np.random.default_rng(99)
+        vocab = [w for w in _WORDS[:60] if len(w) > 2]
+        in_vocab = [
+            ("v%d" % i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 5)))))
+            for i in range(2000)
+        ]
+        lat = []
+        t0 = time.time()
+        for qid, q in in_vocab:
+            s = time.time()
+            e.query("OR " + q, 100)
+            lat.append(time.time() - s)
+        dt = time.time() - t0
+        queries["daat_invocab_2000q"] = round(dt, 3)
+        lat.sort()
+        detail["daat_qps"] = round(len(in_vocab) / dt, 1)
+        detail["daat_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
+        detail["daat_p99_ms"] = round(lat[int(len(lat) * 0.99)] * 1000, 2)
+
+        # (b) the reference repo's MS MARCO dev queries (tokenizer + lookup
+        # path; most terms miss the synthetic vocabulary)
+        qs = reference_query_set(limit=2000)
+        t0 = time.time()
+        for qid, q in qs:
+            e.query("OR " + q, 100)
+        queries["daat_msmarco_2000q"] = round(time.time() - t0, 3)
+
+    if "topk_batch" in components:
+        from invertedindex_ray.pipelines.batch_query import batch_topk
+        from invertedindex_ray.pipelines.query_sets import DRIVER_QUERY_SET
+
+        t0 = time.time()
+        batch_topk(sf_dir, DRIVER_QUERY_SET, k=20)
+        queries["topk_batch"] = round(time.time() - t0, 3)
+
+    if "dedup_minhash" in components:
+        from invertedindex_ray.pipelines.dedup import minhash_lsh_pairs
+
+        t0 = time.time()
+        minhash_lsh_pairs(sf_dir)
+        queries["dedup_minhash"] = round(time.time() - t0, 3)
+
+    if "ann" in components:
+        from invertedindex_ray.pipelines.similarity import ann_topk
+
+        t0 = time.time()
+        ann_topk(sf_dir, n_queries=5, k=10)
+        queries["ann_topk"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "e2e_bench_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "detail": detail,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same build at two parallelism levels in fresh processes."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            BENCH_COMPONENTS="build",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    thr8 = out[8]["detail"]["build_docs_per_s"]
+    thr32 = out[32]["detail"]["build_docs_per_s"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": 8,
+        "cpus_hi": 32,
+        "build_sec_8": out[8]["queries"]["build"],
+        "build_sec_32": out[32]["queries"]["build"],
+        "docs_per_s_8": thr8,
+        "docs_per_s_32": thr32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        comps = os.environ.get(
+            "BENCH_COMPONENTS", "build,daat,topk_batch,dedup_minhash,ann"
+        ).split(",")
+        print(json.dumps(run_bench(sf_dir, ncpu, comps)))

@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
-from invertedindex_ray.stages.explode import PostingsExplode
+from invertedindex_ray.stages.explode import PostingsPartial
 from invertedindex_ray.stages.segment import SegmentWriter
 from invertedindex_ray.stages.tokenize import TokenizeStage
 from invertedindex_ray.state.manifest import Manifest, atomic_write_json
@@ -106,16 +106,27 @@ class IndexBuilder:
         ds = pages
         if cols - {"url", "text"}:
             ds = ds.select_columns(["url", "text"])
-        conc = self.tokenize_concurrency
-        if conc is None:
-            conc = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-        tok = ds.map_batches(
-            TokenizeStage,
-            fn_constructor_args=(self.config,),
-            batch_format="pyarrow",
-            batch_size=self.tokenize_batch_size,
-            concurrency=conc,
-        )
+        cfg = self.config
+        if self.tokenize_concurrency is not None:
+            # explicit actor pool (useful when a heavy model/parser loads in
+            # __init__; see TokenizeStage)
+            tok = ds.map_batches(
+                TokenizeStage,
+                fn_constructor_args=(cfg,),
+                batch_format="pyarrow",
+                batch_size=self.tokenize_batch_size,
+                concurrency=self.tokenize_concurrency,
+            )
+        else:
+            # default: stateless tasks on the warm worker pool with a
+            # module-global stem memo (no per-execution actor spin-up)
+            from invertedindex_ray.stages.tokenize import tokenize_pages_batch
+
+            tok = ds.map_batches(
+                lambda b: tokenize_pages_batch(b, cfg),
+                batch_format="pyarrow",
+                batch_size=self.tokenize_batch_size,
+            )
         out = self._tokenized_dir()
         tok.write_parquet(out)
         self.manifest.mark_complete("tokenized", path=out)
@@ -205,7 +216,9 @@ class IndexBuilder:
         urls_ref = None
         if self.config.id_mode == "dense":
             urls_ref = ray.put(self._load_sorted_urls())
-        explode = PostingsExplode(self.config, stats.num_docs, urls_ref)
+        explode = PostingsPartial(
+            self.config, stats.num_docs, stats.avg_doc_len, urls_ref
+        )
         postings = tok.map_batches(
             explode, batch_format="pyarrow", batch_size=self.explode_batch_size
         )
@@ -273,6 +286,7 @@ class IndexBuilder:
 
     def build(self, pages) -> CollectionStats:
         """Run (or resume) the full build; returns collection stats."""
+        self.config.save(self.index_dir)  # make the index dir self-describing
         self._run_tokenize(pages)
         stats = self._run_stats()
         self._run_doc_table(stats)

@@ -56,3 +56,38 @@ class IndexConfig:
         resume never mixes artifacts built under different settings."""
         blob = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+    # Fields that determine the on-disk index layout / stored values; a
+    # QueryEngine opened with different values would hash terms into the
+    # wrong bucket files or use stale MaxScore bounds.
+    LAYOUT_FIELDS = (
+        "stemming", "stopwords", "max_term_len",
+        "bm25_k1", "bm25_b",
+        "skip_pointers_threshold", "num_doc_partitions", "num_buckets",
+        "id_mode",
+    )
+
+    def save(self, index_dir: str) -> None:
+        """Persist to ``<index_dir>/config.json`` so the index directory is
+        self-describing (the reference bakes its layout into Constants.java;
+        here the knobs are data, so they must travel with the artifacts)."""
+        import os
+
+        path = os.path.join(index_dir, "config.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexConfig | None":
+        """Load the persisted build config, or None for pre-config indexes."""
+        import os
+
+        path = os.path.join(index_dir, "config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)

@@ -134,9 +134,47 @@ class QueryEngine:
     table to a positional fetch — both layouts already support it.
     """
 
-    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        config: IndexConfig | None = None,
+        *,
+        traversal: str = "vectorized",
+    ):
+        """``traversal``:
+
+        - ``"vectorized"`` (default): numpy exhaustive scoring + closed-form
+          queue replay. Produces the same result set as MaxScore DAAT —
+          the pruned docs provably cannot enter the queue (their bounded
+          score never exceeds the threshold), and the final queue equals
+          {top-k distinct scores, each held by its first-traversal (= min
+          doc id) doc}. Per-term score arrays are cached, so a query is a
+          concatenate + bincount + lexsort. This is the 10^12-doc path.
+        - ``"daat"``: the reference-faithful sequential MaxScore DAAT
+          (QueryProcessor.java:251-412), with its pivot-dependent float
+          summation order. The two differ only by 1-ulp effects on exact
+          score ties; tests assert canonical equality.
+        """
         self.index_dir = index_dir
-        self.config = config or IndexConfig()
+        persisted = IndexConfig.load(index_dir)
+        if config is None:
+            # the index dir is self-describing: use the build-time config
+            self.config = persisted or IndexConfig()
+        else:
+            if persisted is not None:
+                bad = [
+                    f
+                    for f in IndexConfig.LAYOUT_FIELDS
+                    if getattr(persisted, f) != getattr(config, f)
+                ]
+                if bad:
+                    raise ValueError(
+                        f"config mismatch with index at {index_dir}: fields "
+                        f"{bad} differ from the build-time config.json — "
+                        "open with config=None to use the persisted config"
+                    )
+            self.config = config
+        self.traversal = traversal
         self.stats = CollectionStats.load(index_dir)
 
         lex = pq.read_table(os.path.join(index_dir, "lexicon"))
@@ -165,6 +203,7 @@ class QueryEngine:
         self._divisor = part_divisor(self.config, self.stats.num_docs)
 
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+        self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._bucket_files: dict[int, pq.ParquetFile | None] = {}
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
@@ -223,6 +262,35 @@ class QueryEngine:
         self._postings_cache[term] = out
         return out
 
+    def get_scored_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc_ids, bm25_scores) for a term — per-posting scores
+        precomputed once (idf * tf/(k1*norm+tf) in the reference op order)
+        and cached; the vectorized query path is then pure array merging."""
+        if term in self._scored_cache:
+            return self._scored_cache[term]
+        p = self.get_postings(term)
+        row = self.lexicon.get(term)
+        if p is None or row is None:
+            self._scored_cache[term] = None
+            return None
+        ids, tfs = p
+        if self._dense:
+            dls = self._doc_len[ids]
+        else:
+            dls = self._doc_len[np.searchsorted(self._doc_ids, ids)]
+        import math
+
+        k1, b = self.config.bm25_k1, self.config.bm25_b
+        avg = self.stats.avg_doc_len
+        idf = math.log(self.stats.num_docs / row[0])
+        tfsf = tfs.astype(np.float64)
+        scores = (
+            tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
+        ) * idf
+        out = (ids, scores)
+        self._scored_cache[term] = out
+        return out
+
     # ---------- query preprocessing (M7) ----------
 
     def preprocess(self, query: str) -> tuple[str, set[str]]:
@@ -264,6 +332,15 @@ class QueryEngine:
             self._query_cache.move_to_end(cache_key)
             return list(cached)
 
+        if self.traversal == "vectorized":
+            results = self._vectorized_query(qtype, token_set, k)
+            if results is not None:
+                self._query_cache[cache_key] = list(results)
+                self._query_cache.move_to_end(cache_key)
+                while len(self._query_cache) > self.config.query_cache_size:
+                    self._query_cache.popitem(last=False)
+            return results if results is not None else []
+
         cursors: list[PostingCursor] = []
         lex_rows: dict[str, tuple[int, int, float]] = {}
         for tok in token_set:
@@ -304,6 +381,55 @@ class QueryEngine:
         while len(self._query_cache) > self.config.query_cache_size:
             self._query_cache.popitem(last=False)
         return results
+
+    # ---------- vectorized traversal ----------
+
+    def _vectorized_query(
+        self, qtype: str, token_set: set[str], k: int
+    ) -> list[tuple[str, float]] | None:
+        """Exhaustive numpy scoring + closed-form MaxScore queue replay.
+
+        Term contributions are summed in ascending-term-upper-bound order
+        (the DAAT pivot=0 order). Final set = top-k distinct total scores,
+        each represented by its minimum doc id — proven equal to the
+        sequential queue's content (see class docstring)."""
+        terms = []
+        for tok in token_set:
+            sp = self.get_scored_postings(tok)
+            if sp is None:
+                if qtype == "and":
+                    return []
+                continue
+            terms.append((self.lexicon[tok][2], tok, sp))
+        if not terms:
+            return []
+        terms.sort(key=lambda t: t[0])  # tub ascending == DAAT list order
+
+        ids = np.concatenate([sp[0] for _, _, sp in terms])
+        scores = np.concatenate([sp[1] for _, _, sp in terms])
+        uniq_ids, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
+        totals = np.bincount(inv, weights=scores)
+        if qtype == "and":
+            need = len(terms)
+            mask = counts == need
+            if not mask.any():
+                return []
+            uniq_ids = uniq_ids[mask]
+            totals = totals[mask]
+
+        # top-k distinct scores, min doc id each: lexsort by (-score, id),
+        # keep the first row of each score group, take k
+        order = np.lexsort((uniq_ids, -totals))
+        s_sorted = totals[order]
+        d_sorted = uniq_ids[order]
+        first = np.empty(len(s_sorted), dtype=bool)
+        if len(s_sorted):
+            first[0] = True
+            np.not_equal(s_sorted[1:], s_sorted[:-1], out=first[1:])
+        keep = np.flatnonzero(first)[:k]
+        return [
+            (self.doc_lookup(int(d_sorted[i]))[0], float(s_sorted[i])) for i in keep
+        ]
 
     # ---------- DAAT traversals ----------
 

@@ -103,3 +103,89 @@ class PostingsExplode:
                 "bucket": pa.array(buckets, type=pa.int32()),
             }
         )
+
+
+class PostingsPartial(PostingsExplode):
+    """Combiner variant of the explode stage: emits ONE row per
+    (term, part) per batch with the postings as sorted list columns plus
+    partial aggregates (cf, max BM25 partial score) — the SPIMI in-memory
+    block reborn as a per-batch combine (SURVEY.md §2 ST1).
+
+    Cuts the wide shuffle from one row per posting (with a term string
+    each) to one row per distinct (term, part) per batch, and moves the
+    doc_len-dependent scoring work into the embarrassingly-parallel map
+    stage so doc_len never shuffles at all.
+    """
+
+    def __init__(self, config, num_docs: int, avg_doc_len: float, sorted_urls_ref=None):
+        super().__init__(config, num_docs, sorted_urls_ref)
+        self.avg_doc_len = avg_doc_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        from invertedindex_ray.functions.scoring import bm25_partial
+
+        t = super().__call__(batch)
+        term = t["term"]
+        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
+        import pyarrow.compute as pc
+
+        d = pc.dictionary_encode(term)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_len = t["doc_len"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+
+        order = np.lexsort((doc_id, part, codes))
+        codes, doc_id, tf, doc_len, part, bucket = (
+            codes[order], doc_id[order], tf[order], doc_len[order],
+            part[order], bucket[order],
+        )
+        n = len(doc_id)
+        if n == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "part": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int32()),
+                    "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                    "tfs": pa.array([], type=pa.list_(pa.int32())),
+                    "cf": pa.array([], type=pa.int64()),
+                    "maxp": pa.array([], type=pa.float64()),
+                }
+            )
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        change[1:] |= part[1:] != part[:-1]
+        run_starts = np.flatnonzero(change)
+        run_ends = np.append(run_starts[1:], n)
+
+        partial = bm25_partial(
+            tf, doc_len, self.avg_doc_len, self.config.bm25_k1, self.config.bm25_b
+        )
+        cf = np.add.reduceat(tf, run_starts)
+        maxp = np.maximum.reduceat(partial, run_starts)
+
+        offsets = np.concatenate(([0], run_ends)).astype(np.int64)
+        id_lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(doc_id, type=pa.int64()),
+        )
+        tf_lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(tf.astype(np.int32), type=pa.int32()),
+        )
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(codes[run_starts], type=pa.int64())),
+                "part": pa.array(part[run_starts].astype(np.int32), type=pa.int32()),
+                "bucket": pa.array(bucket[run_starts], type=pa.int32()),
+                "doc_ids": id_lists,
+                "tfs": tf_lists,
+                "cf": pa.array(cf, type=pa.int64()),
+                "maxp": pa.array(maxp, type=pa.float64()),
+            }
+        )

@@ -25,7 +25,6 @@ import pyarrow.compute as pc
 
 from invertedindex_ray.config import IndexConfig
 from invertedindex_ray.functions import codec
-from invertedindex_ray.functions.scoring import bm25_partial
 from invertedindex_ray.state.manifest import atomic_write_table
 
 SEGMENT_SCHEMA = pa.schema(
@@ -76,23 +75,33 @@ class SegmentWriter:
 
             return pq.read_table(stats_file)
 
+        # rows are per-batch partial runs (stages/explode.py PostingsPartial):
+        # term, part, bucket, doc_ids:list, tfs:list, cf, maxp
         term_col = group["term"]
         term_col = term_col.combine_chunks() if isinstance(term_col, pa.ChunkedArray) else term_col
         d = pc.dictionary_encode(term_col)
-        term_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = d.dictionary
+        row_part = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_cf = group["cf"].to_numpy(zero_copy_only=False)
+        row_maxp = group["maxp"].to_numpy(zero_copy_only=False)
 
-        doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_len = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_col = group["doc_ids"]
+        ids_col = ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
+        tfs_col = group["tfs"]
+        tfs_col = tfs_col.combine_chunks() if isinstance(tfs_col, pa.ChunkedArray) else tfs_col
+        offs = ids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_len = offs[1:] - offs[:-1]
+        flat_ids = ids_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_codes = np.repeat(row_codes, row_len)
+        flat_part = np.repeat(row_part, row_len)
 
-        order = np.lexsort((doc_id, part, term_codes))
-        term_codes = term_codes[order]
-        doc_id = doc_id[order]
-        tf = tf[order]
-        doc_len = doc_len[order]
-        part = part[order]
+        order = np.lexsort((flat_ids, flat_part, flat_codes))
+        term_codes = flat_codes[order]
+        doc_id = flat_ids[order]
+        tf = flat_tfs[order]
+        part = flat_part[order]
 
         # run boundaries on (term, part)
         n = len(doc_id)
@@ -117,12 +126,16 @@ class SegmentWriter:
         run_tf_start = np.where(run_starts > 0, tf_ends[run_starts - 1], 0)
         run_tf_end = tf_ends[run_ends - 1]
 
-        # per-run stats
-        cf = np.add.reduceat(tf, run_starts)
-        partial = bm25_partial(
-            tf, doc_len, self.avg_doc_len, self.config.bm25_k1, self.config.bm25_b
-        )
-        maxp = np.maximum.reduceat(partial, run_starts)
+        # per-(term, part) stats: merge the per-batch partial aggregates
+        row_order = np.lexsort((row_part, row_codes))
+        rc, rp = row_codes[row_order], row_part[row_order]
+        rchange = np.empty(len(rc), dtype=bool)
+        rchange[0] = True
+        np.not_equal(rc[1:], rc[:-1], out=rchange[1:])
+        rchange[1:] |= rp[1:] != rp[:-1]
+        rstarts = np.flatnonzero(rchange)
+        cf = np.add.reduceat(row_cf[row_order], rstarts)
+        maxp = np.maximum.reduceat(row_maxp[row_order], rstarts)
 
         doc_bytes = doc_stream.tobytes()
         tf_bytes = tf_stream.tobytes()

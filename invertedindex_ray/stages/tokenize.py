@@ -29,6 +29,39 @@ TOKENIZED_SCHEMA = pa.schema(
 )
 
 
+# Module-level stem memo: Ray task workers are long-lived processes, so a
+# plain-function tokenize stage keeps cross-batch memoization without the
+# actor-pool spin-up cost (an actor pool pays ~seconds of startup per
+# execution; tasks reuse the already-warm worker pool). The memo is a pure
+# cache — no correctness state — so task-level parallelism stays safe.
+_GLOBAL_MEMO = StemMemo()
+
+
+def tokenize_pages_batch(batch: pa.Table, config: IndexConfig | None = None) -> pa.Table:
+    """Stateless-task variant of TokenizeStage (same output schema)."""
+    import pyarrow.compute as pc
+
+    cfg = config or IndexConfig()
+    terms, tfs, doc_len = tokenize_docs(
+        batch["text"],
+        stemming=cfg.stemming,
+        stopword_removal=cfg.stopwords,
+        max_term_len=cfg.max_term_len,
+        memo=_GLOBAL_MEMO if cfg.stemming else None,
+    )
+    url = batch["url"]
+    url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+    out = pa.table(
+        {
+            "url": url,
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )
+    return out.filter(pc.greater(out["doc_len"], 0))
+
+
 class TokenizeStage:
     def __init__(self, config: IndexConfig | None = None):
         self.config = config or IndexConfig()

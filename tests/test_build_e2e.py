@@ -197,6 +197,20 @@ class TestRetrievalRankIdentity:
             assert abs(len(r_e) - len(r_o)) <= 2, q
             assert r_e[:n] == r_o[:n], q
 
+    @pytest.mark.parametrize("k", [5, 100])
+    def test_vectorized_matches_sequential_daat(self, built, k):
+        """The default vectorized traversal must equal the reference-
+        faithful sequential MaxScore DAAT (canonically, modulo ulp ties)."""
+        _, cfg, idx_dir, _ = built
+        ev = QueryEngine(idx_dir, cfg, traversal="vectorized")
+        ed = QueryEngine(idx_dir, cfg, traversal="daat")
+        for q in QUERIES:
+            r_v = _canonical(ev.query(q, k))
+            r_d = _canonical(ed.query(q, k))
+            n = min(len(r_v), len(r_d))
+            assert abs(len(r_v) - len(r_d)) <= 2, q
+            assert r_v[:n] == r_d[:n], q
+
     def test_conjunctive_is_subset_of_disjunctive_terms(self, built):
         _, cfg, idx_dir, _ = built
         e = QueryEngine(idx_dir, cfg)
@@ -322,6 +336,22 @@ class TestResume:
         b = IndexBuilder(idx_dir, other)
         # different config -> fresh manifest, no stage reuse
         assert not b.manifest.stage_complete("tokenized")
+
+    def test_index_dir_self_describing(self, built):
+        """QueryEngine opened without a config must pick up the build-time
+        config.json (bucket count etc.); a layout-mismatched config raises."""
+        table, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir)  # no config
+        assert e.config.num_buckets == cfg.num_buckets
+        assert e.config.num_doc_partitions == cfg.num_doc_partitions
+        from invertedindex_ray.functions.textproc import preprocess_token
+
+        fixed_point = next(  # a term whose stem is itself, so the query
+            t for t in e.lexicon if preprocess_token(t) == t  # round-trips
+        )
+        assert e.query("OR " + fixed_point, 3)
+        with pytest.raises(ValueError, match="config mismatch"):
+            QueryEngine(idx_dir, IndexConfig(num_buckets=cfg.num_buckets + 1))
 
     def test_manifest_metrics_recorded(self, built):
         _, _, idx_dir, stats = built
