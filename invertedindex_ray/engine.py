@@ -204,7 +204,7 @@ class QueryEngine:
 
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
-        self._bucket_files: dict[int, pq.ParquetFile | None] = {}
+        self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes]]]] = {}
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
     # ---------- doc table ----------
@@ -220,26 +220,36 @@ class QueryEngine:
 
     # ---------- postings ----------
 
+    def _bucket_rows(self, bucket: int) -> dict[str, list[tuple[int, bytes, bytes]]]:
+        """term -> [(part, doc_ids_vb, tfs_vb)] for one bucket file, loaded
+        once and cached. The reference mmaps the whole postings file
+        (QueryProcessor.java:50-56); this is the per-bucket analog. At true
+        web scale the engine would instead keep only the lexicon resident
+        and range-read (offset, size) slices per term — the layout already
+        records per-row blob sizes, so that switch is local to this method."""
+        cached = self._bucket_cache.get(bucket)
+        if cached is not None:
+            return cached
+        path = segment_path(self.index_dir, bucket)
+        out: dict[str, list[tuple[int, bytes, bytes]]] = {}
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=["term", "part", "doc_ids_vb", "tfs_vb"])
+            terms = t["term"].to_pylist()
+            parts = t["part"].to_numpy(zero_copy_only=False)
+            dvb = t["doc_ids_vb"].to_pylist()
+            tvb = t["tfs_vb"].to_pylist()
+            for tm, p, d, f in zip(terms, parts, dvb, tvb):
+                out.setdefault(tm, []).append((int(p), d, f))
+        self._bucket_cache[bucket] = out
+        return out
+
     def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes]]:
         rows = []
         for part in range(self._n_parts):
             b = term_bucket_one(term, part, self.config.num_buckets)
-            path = segment_path(self.index_dir, b)
-            if not os.path.exists(path):
-                continue
-            t = pq.read_table(
-                path,
-                columns=["term", "part", "doc_ids_vb", "tfs_vb"],
-                filters=[("term", "=", term), ("part", "=", part)],
+            rows.extend(
+                r for r in self._bucket_rows(b).get(term, ()) if r[0] == part
             )
-            for i in range(t.num_rows):
-                rows.append(
-                    (
-                        int(t["part"][i].as_py()),
-                        t["doc_ids_vb"][i].as_py(),
-                        t["tfs_vb"][i].as_py(),
-                    )
-                )
         rows.sort(key=lambda r: r[0])
         return rows
 
@@ -247,6 +257,11 @@ class QueryEngine:
         """Decoded (doc_ids, tfs) for a term, parts chained in doc-id order."""
         if term in self._postings_cache:
             return self._postings_cache[term]
+        if term not in self.lexicon:
+            # out-of-vocabulary: no I/O (the reference's lexicon binary
+            # search fails first, QueryProcessor.java:176-183)
+            self._postings_cache[term] = None
+            return None
         rows = self._read_segment_rows(term)
         if not rows:
             self._postings_cache[term] = None
