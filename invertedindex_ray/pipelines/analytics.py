@@ -203,3 +203,55 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------- Q5: TF-IDF scoring ----------
+
+def tfidf_scores(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """(term, doc_id, tfidf_r): ln(N/df) * (1 + ln(tf)) per posting, the
+    reference's alternative scoring function (ScoringFunctions.java:14-17,
+    implemented but unused by default). df is joined onto postings by
+    broadcasting the small aggregated lexicon (ray.put once, read per
+    batch) instead of a second shuffle."""
+    import math
+
+    import ray
+
+    stats = collection_stats(sf_dir, cfg)
+    n_docs = int(stats["num_docs"][0].as_py())
+
+    lex = lexicon(sf_dir, cfg).select_columns(["term", "df"]).take_all()
+    df_map = {r["term"]: int(r["df"]) for r in lex}
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = _explode_batch(batch)
+        import pyarrow.compute as pc
+
+        dfm = ray.get(df_ref)
+        term = t["term"]
+        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
+        d = pc.dictionary_encode(term)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # idf once per distinct term in the batch, not per posting row
+        idf_u = np.fromiter(
+            (math.log(n_docs / dfm[tm]) for tm in d.dictionary.to_pylist()),
+            dtype=np.float64, count=len(d.dictionary),
+        )
+        idf = idf_u[codes]
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # math.log (libm), not np.log (SIMD, 1-ulp off), for oracle parity
+        uniq, inv = np.unique(tf, return_inverse=True)
+        logtf = np.fromiter(
+            (math.log(int(v)) for v in uniq), dtype=np.float64, count=len(uniq)
+        )
+        s = idf * (1.0 + logtf[inv])
+        return pa.table(
+            {
+                "term": t["term"],
+                "doc_id": t["doc_id"],
+                "tfidf_r": pa.array(round_half_up(s, 6), type=pa.float64()),
+            }
+        )
+
+    return _tokenized(sf_dir, cfg).map_batches(score, batch_format="pyarrow")

@@ -34,13 +34,16 @@ _WORDS = np.array(
 
 
 def corpus_path(n_docs: int, seed: int = 42) -> str:
-    return f"/tmp/iidx-bench-corpus-{n_docs}-{seed}.parquet"
+    # a DIRECTORY of parquet files (one per rows_per_group docs): read
+    # parallelism is per-file, so a single big file would cap the
+    # read->tokenize stage at #row-groups tasks no matter the CPU count
+    return f"/tmp/iidx-bench-corpus-{n_docs}-{seed}"
 
 
-def ensure_corpus(n_docs: int, seed: int = 42, *, rows_per_group: int = 20_000) -> str:
-    """Generate (once) and return the path of the bench pages parquet."""
+def ensure_corpus(n_docs: int, seed: int = 42, *, rows_per_group: int = 5_000) -> str:
+    """Generate (once) and return the dir of the bench pages parquet."""
     path = corpus_path(n_docs, seed)
-    if os.path.exists(path):
+    if os.path.isdir(path) and os.listdir(path):
         return path
     rng = np.random.default_rng(seed)
     n_vocab = len(_WORDS)
@@ -49,7 +52,8 @@ def ensure_corpus(n_docs: int, seed: int = 42, *, rows_per_group: int = 20_000) 
     p /= p.sum()
 
     tmp = path + ".tmp"
-    writer = None
+    os.makedirs(tmp, exist_ok=True)
+    file_no = 0
     done = 0
     while done < n_docs:
         n = min(rows_per_group, n_docs - done)
@@ -73,11 +77,8 @@ def ensure_corpus(n_docs: int, seed: int = 42, *, rows_per_group: int = 20_000) 
                 "lang": pa.array(["en"] * n, type=pa.string()),
             }
         )
-        if writer is None:
-            writer = pq.ParquetWriter(tmp, table.schema)
-        writer.write_table(table)
+        pq.write_table(table, os.path.join(tmp, f"part-{file_no:05d}.parquet"))
+        file_no += 1
         done += n
-    if writer is not None:
-        writer.close()
     os.replace(tmp, path)
     return path

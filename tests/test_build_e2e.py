@@ -320,6 +320,66 @@ class TestTieCollapseEndToEnd:
         assert "https://t/1" not in docs  # exact tie with doc 0 collapsed
 
 
+class TestTextualSink:
+    def test_dump_matches_oracle_postings(self, built, tmp_path, ray_session):
+        """S3: the ASCII mirror of the binary segments must decode to the
+        oracle postings (TextualIndexer as debugging oracle, SURVEY.md §5)."""
+        import pyarrow.csv as pacsv
+
+        from invertedindex_ray.sources.textual_sink import dump_textual_index
+
+        table, cfg, idx_dir, _ = built
+        _, postings = _expected_index(
+            table["text"].to_pylist(), table["url"].to_pylist(), cfg
+        )
+        out = str(tmp_path / "textual")
+        dump_textual_index(idx_dir, out)
+        frags = [
+            pacsv.read_csv(os.path.join(out, f)) for f in sorted(os.listdir(out))
+        ]
+        import pyarrow as pa
+
+        t = pa.concat_tables(frags)
+        got: dict[str, list[tuple[int, int]]] = {}
+        rows = sorted(
+            zip(
+                t["term"].to_pylist(), t["part"].to_pylist(),
+                t["doc_ids"].to_pylist(), t["tfs"].to_pylist(),
+            )
+        )
+        for term, _part, ids, tfs in rows:
+            pairs = list(zip(map(int, str(ids).split()), map(int, str(tfs).split())))
+            got.setdefault(term, []).extend(pairs)
+        assert got == postings
+
+
+class TestTfIdfScoring:
+    def test_tfidf_vectorized_matches_brute(self, built, ray_session):
+        """Q5: ln(N/df)*(1+ln(tf)) scorer (ScoringFunctions.java:14-17)."""
+        import math
+
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg, scoring="tfidf")
+        terms = [t for t in e.lexicon if preprocess_token(t) == t][:3]
+        res = e.query("OR " + " ".join(terms), 10)
+        assert res
+        # brute-force: sum per matched term of idf*(1+ln tf)
+        expected: dict[int, float] = {}
+        for t in set(terms):
+            ids, tfs = e.get_postings(t)
+            idf = math.log(e.stats.num_docs / e.lexicon[t][0])
+            for d, tf in zip(ids.tolist(), tfs.tolist()):
+                expected[d] = expected.get(d, 0.0) + idf * (1.0 + math.log(tf))
+        # engine top-k is tie-collapsed: top-10 DISTINCT scores
+        distinct = sorted({round(s, 9) for s in expected.values()}, reverse=True)
+        assert [round(s, 9) for _, s in res] == distinct[: len(res)]
+
+    def test_tfidf_requires_vectorized(self, built, ray_session):
+        _, cfg, idx_dir, _ = built
+        with pytest.raises(ValueError, match="vectorized"):
+            QueryEngine(idx_dir, cfg, traversal="daat", scoring="tfidf")
+
+
 class TestResume:
     def test_second_build_skips_everything(self, built, ray_session):
         table, cfg, idx_dir, stats = built
