@@ -55,7 +55,7 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
     from invertedindex_ray.sources.bench_corpus import ensure_corpus
 
     sf = _sf_of(sf_dir)
-    n_docs = CORPUS_DOCS.get(sf, 20_000)
+    n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", CORPUS_DOCS.get(sf, 20_000)))
     corpus = ensure_corpus(n_docs)
 
     queries: dict[str, float] = {}
@@ -170,6 +170,9 @@ def run_scaling(sf_dir: str) -> dict:
             GRAFT_SF_DIR=sf_dir,
             BENCH_COMPONENTS="build",
             BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
+            # scaling runs use a 4x corpus so per-build fixed overhead
+            # (~4s of stage sequencing) doesn't mask the compute scaling
+            BENCH_CORPUS_DOCS=os.environ.get("BENCH_CORPUS_DOCS", "800000"),
         )
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

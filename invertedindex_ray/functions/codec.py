@@ -53,16 +53,16 @@ def vb_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nbytes = vb_encoded_lengths(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
-    out = np.zeros(total, dtype=np.uint8)
-    # fill digit d (d = distance from the value's last byte) for all values
-    # with nbytes > d: at most 9 vectorized rounds
-    max_len = int(nbytes.max())
-    for d in range(max_len):
-        mask = nbytes > d
-        pos = ends[mask] - 1 - d
-        digit = ((v[mask] >> np.uint64(7 * d)) & np.uint64(0x7F)).astype(np.uint8)
-        out[pos] = digit
-    # terminal-byte marker (high bit on the last byte of each value)
+    if total == len(v):
+        # all single-byte (values < 128): one vectorized pass
+        out = v.astype(np.uint8)
+        out |= 0x80
+        return out, ends
+    # one flat pass: byte i belongs to value vid[i] and sits shift[i] 7-bit
+    # digits from that value's end — no per-round boolean masking
+    vid = np.repeat(np.arange(len(v), dtype=np.int64), nbytes)
+    shift = ((ends[vid] - 1 - np.arange(total, dtype=np.int64)) * 7).astype(np.uint64)
+    out = ((v[vid] >> shift) & np.uint64(0x7F)).astype(np.uint8)
     out[ends - 1] |= 0x80
     return out, ends
 
@@ -72,19 +72,21 @@ def vb_decode(stream: np.ndarray | bytes) -> np.ndarray:
     b = np.frombuffer(stream, dtype=np.uint8) if isinstance(stream, (bytes, bytearray, memoryview)) else stream
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
-    term = b >= 128
-    ends = np.flatnonzero(term) + 1
-    starts = np.concatenate(([0], ends[:-1]))
-    lengths = ends - starts
+    ends = np.flatnonzero(b & 0x80) + 1
     n_vals = len(ends)
+    if len(b) == n_vals:
+        # all single-byte: strip the terminal bit in one pass
+        return (b & np.uint8(0x7F)).astype(np.uint64)
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    lengths = ends - starts
     payload = (b & 0x7F).astype(np.uint64)
-    out = np.zeros(n_vals, dtype=np.uint64)
-    max_len = int(lengths.max())
-    # big-endian Horner: at most 9 vectorized rounds
-    for d in range(max_len):
-        mask = lengths > d
-        out[mask] = (out[mask] << np.uint64(7)) + payload[starts[mask] + d]
-    return out
+    # one flat pass: contribution of byte i = payload << 7*(digits from its
+    # value's end); per-value sum via add.reduceat — no per-round masking
+    vid = np.repeat(np.arange(n_vals, dtype=np.int64), lengths)
+    shift = ((ends[vid] - 1 - np.arange(len(b), dtype=np.int64)) * 7).astype(np.uint64)
+    return np.add.reduceat(payload << shift, starts)
 
 
 def dgap_encode(doc_ids: np.ndarray) -> np.ndarray:

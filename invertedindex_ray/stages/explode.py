@@ -107,14 +107,16 @@ class PostingsExplode:
 
 class PostingsPartial(PostingsExplode):
     """Combiner variant of the explode stage: emits ONE row per
-    (term, part) per batch with the postings as sorted list columns plus
+    (term, part) per batch with the postings **VB-compressed** plus
     partial aggregates (cf, max BM25 partial score) — the SPIMI in-memory
-    block reborn as a per-batch combine (SURVEY.md §2 ST1).
+    block reborn as a per-batch combine (SURVEY.md §2 ST1), with the
+    spill-block compression (BinaryIndexer.writeBlockToDisk) moved into
+    the shuffle itself.
 
-    Cuts the wide shuffle from one row per posting (with a term string
-    each) to one row per distinct (term, part) per batch, and moves the
-    doc_len-dependent scoring work into the embarrassingly-parallel map
-    stage so doc_len never shuffles at all.
+    Cuts the wide shuffle from one 12+-byte row per posting to ~1-2
+    bytes per posting: doc ids are d-gapped + variable-byte encoded per
+    sorted run, tfs VB'd, so the all-to-all moves compressed binary blobs.
+    Doc-len-dependent scoring happens map-side; doc_len never shuffles.
     """
 
     def __init__(self, config, num_docs: int, avg_doc_len: float, sorted_urls_ref=None):
@@ -150,8 +152,9 @@ class PostingsPartial(PostingsExplode):
                     "term": pa.array([], type=pa.string()),
                     "part": pa.array([], type=pa.int32()),
                     "bucket": pa.array([], type=pa.int32()),
-                    "doc_ids": pa.array([], type=pa.list_(pa.int64())),
-                    "tfs": pa.array([], type=pa.list_(pa.int32())),
+                    "doc_ids_vb": pa.array([], type=pa.binary()),
+                    "tfs_vb": pa.array([], type=pa.binary()),
+                    "n": pa.array([], type=pa.int32()),
                     "cf": pa.array([], type=pa.int64()),
                     "maxp": pa.array([], type=pa.float64()),
                 }
@@ -169,22 +172,33 @@ class PostingsPartial(PostingsExplode):
         cf = np.add.reduceat(tf, run_starts)
         maxp = np.maximum.reduceat(partial, run_starts)
 
-        offsets = np.concatenate(([0], run_ends)).astype(np.int64)
-        id_lists = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), type=pa.int32()),
-            pa.array(doc_id, type=pa.int64()),
-        )
-        tf_lists = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), type=pa.int32()),
-            pa.array(tf.astype(np.int32), type=pa.int32()),
-        )
+        # d-gap within each run (first value absolute), then one VB encode
+        # over the whole batch; per-run blob = contiguous byte slice
+        from invertedindex_ray.functions import codec
+
+        gaps = doc_id.copy()
+        gaps[1:] -= doc_id[:-1]
+        gaps[run_starts] = doc_id[run_starts]
+        id_stream, id_ends = codec.vb_encode(gaps)
+        tf_stream, tf_ends = codec.vb_encode(tf)
+
+        def _blob_array(stream: np.ndarray, ends: np.ndarray) -> pa.Array:
+            byte_offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
+            byte_offsets[1:] = ends[run_ends - 1]
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(run_starts),
+                [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(stream.tobytes())],
+            )
+
         return pa.table(
             {
                 "term": vocab.take(pa.array(codes[run_starts], type=pa.int64())),
                 "part": pa.array(part[run_starts].astype(np.int32), type=pa.int32()),
                 "bucket": pa.array(bucket[run_starts], type=pa.int32()),
-                "doc_ids": id_lists,
-                "tfs": tf_lists,
+                "doc_ids_vb": _blob_array(id_stream, id_ends),
+                "tfs_vb": _blob_array(tf_stream, tf_ends),
+                "n": pa.array((run_ends - run_starts).astype(np.int32), type=pa.int32()),
                 "cf": pa.array(cf, type=pa.int64()),
                 "maxp": pa.array(maxp, type=pa.float64()),
             }

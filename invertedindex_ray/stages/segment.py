@@ -76,7 +76,10 @@ class SegmentWriter:
             return pq.read_table(stats_file)
 
         # rows are per-batch partial runs (stages/explode.py PostingsPartial):
-        # term, part, bucket, doc_ids:list, tfs:list, cf, maxp
+        # term, part, bucket, doc_ids_vb, tfs_vb, n, cf, maxp — postings
+        # arrive VB-compressed from the shuffle; decode all runs in one
+        # vectorized pass (concatenate blobs -> vb_decode -> segmented
+        # un-gap via cumsum with per-run offset correction)
         term_col = group["term"]
         term_col = term_col.combine_chunks() if isinstance(term_col, pa.ChunkedArray) else term_col
         d = pc.dictionary_encode(term_col)
@@ -85,15 +88,20 @@ class SegmentWriter:
         row_part = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
         row_cf = group["cf"].to_numpy(zero_copy_only=False)
         row_maxp = group["maxp"].to_numpy(zero_copy_only=False)
+        row_len = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-        ids_col = group["doc_ids"]
-        ids_col = ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
-        tfs_col = group["tfs"]
-        tfs_col = tfs_col.combine_chunks() if isinstance(tfs_col, pa.ChunkedArray) else tfs_col
-        offs = ids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        row_len = offs[1:] - offs[:-1]
-        flat_ids = ids_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        def _concat_blobs(col) -> bytes:
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return b"".join(col.to_pylist())
+
+        gaps = codec.vb_decode(_concat_blobs(group["doc_ids_vb"])).astype(np.int64)
+        flat_tfs = codec.vb_decode(_concat_blobs(group["tfs_vb"])).astype(np.int64)
+        starts = np.zeros(len(row_len), dtype=np.int64)
+        np.cumsum(row_len[:-1], out=starts[1:])
+        c = np.cumsum(gaps)
+        base = np.zeros(len(row_len), dtype=np.int64)
+        base[1:] = c[starts[1:] - 1]  # cumsum just before each run start
+        flat_ids = c - np.repeat(base, row_len)
         flat_codes = np.repeat(row_codes, row_len)
         flat_part = np.repeat(row_part, row_len)
 
