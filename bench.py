@@ -70,20 +70,23 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
     cfg = IndexConfig(num_doc_partitions=4, num_buckets=max(32, num_cpus * 2))
 
     if "build" in components:
-        # BENCH_REPEAT > 1: build N times, report the fastest — worker-pool
+        # BENCH_REPEAT > 1: build N times, report the median — worker-pool
         # and page-cache warm-up dominates single-run variance on this box
         repeat = int(os.environ.get("BENCH_REPEAT", "1"))
-        best, stats = None, None
+        runs, stats = [], None
         for _ in range(repeat):
             shutil.rmtree(idx_dir, ignore_errors=True)
             t0 = time.time()
             stats = build_index(
                 rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg
             )
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        dt = best
+            runs.append(time.time() - t0)
+        # median: single runs swing +-30% on this box (VM demand paging);
+        # min overstates, mean is outlier-dragged
+        runs.sort()
+        dt = runs[len(runs) // 2] if repeat % 2 else (runs[repeat // 2 - 1] + runs[repeat // 2]) / 2
         queries["build"] = round(dt, 3)
+        detail["build_runs"] = [round(r, 3) for r in runs]
         detail["build_docs_per_s"] = round(stats.num_docs / dt, 1)
         detail["build_tokens_per_s"] = round(stats.total_tokens / dt, 1)
         detail["num_docs"] = stats.num_docs
@@ -161,15 +164,28 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same build at two parallelism levels in fresh processes."""
-    out = {}
-    for ncpu in (8, 32):
+    """Same build at two parallelism levels (N and 4N cpus), alternated
+    over BENCH_ROUNDS rounds of fresh processes.
+
+    The sandbox VM's effective memory speed drifts over time (hypervisor
+    demand paging / balloon reclaim), so the two levels are INTERLEAVED
+    (lo, hi, lo, hi, ...) and efficiency is computed per adjacent pair,
+    reporting the median pair — this controls for the ambient drift that
+    a run-all-of-A-then-all-of-B design conflates with the cpu count.
+    Levels via BENCH_SCALE_CPUS="8,32"; rounds via BENCH_ROUNDS (3)."""
+    levels = tuple(
+        int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")
+    )
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    lo, hi = levels
+
+    def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             BENCH_COMPONENTS="build",
-            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
+            BENCH_REPEAT="1",
             # scaling runs use a 4x corpus so per-build fixed overhead
             # (~4s of stage sequencing) doesn't mask the compute scaling
             BENCH_CORPUS_DOCS=os.environ.get("BENCH_CORPUS_DOCS", "800000"),
@@ -178,19 +194,33 @@ def run_scaling(sf_dir: str) -> dict:
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         )
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    thr8 = out[8]["detail"]["build_docs_per_s"]
-    thr32 = out[32]["detail"]["build_docs_per_s"]
-    eff = (thr32 / thr8) / (32 / 8)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    pairs = []
+    for _ in range(rounds):
+        a, b = one(lo), one(hi)
+        pairs.append(
+            {
+                "sec_lo": a["queries"]["build"],
+                "sec_hi": b["queries"]["build"],
+                "docs_per_s_lo": a["detail"]["build_docs_per_s"],
+                "docs_per_s_hi": b["detail"]["build_docs_per_s"],
+                "efficiency": round(
+                    (a["queries"]["build"] / b["queries"]["build"]) / (hi / lo), 3
+                ),
+            }
+        )
+    best = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
     return {
         "metric": "scaling_efficiency",
-        "cpus_lo": 8,
-        "cpus_hi": 32,
-        "build_sec_8": out[8]["queries"]["build"],
-        "build_sec_32": out[32]["queries"]["build"],
-        "docs_per_s_8": thr8,
-        "docs_per_s_32": thr32,
-        "scaling_efficiency": round(eff, 3),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "build_sec_lo": best["sec_lo"],
+        "build_sec_hi": best["sec_hi"],
+        "docs_per_s_lo": best["docs_per_s_lo"],
+        "docs_per_s_hi": best["docs_per_s_hi"],
+        "scaling_efficiency": best["efficiency"],
+        "pairs": pairs,
     }
 
 

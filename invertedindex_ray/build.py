@@ -198,12 +198,17 @@ class IndexBuilder:
         self.manifest.mark_complete("doc_table", num_docs=stats.num_docs)
 
     def _load_sorted_urls(self) -> np.ndarray:
+        """doc-id-ordered urls as a fixed-width numpy bytes array: UTF-8
+        byte order matches Arrow's string sort order, so np.searchsorted
+        gives the rank; primitive ndarrays ship zero-copy through the
+        object store (an object-dtype array would pickle per worker)."""
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         t = pq.read_table(self._doc_table_dir(), columns=["url", "doc_id"])
-        order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
-        urls = np.asarray(t["url"].to_pylist(), dtype=object)
-        return urls[order]
+        order = pc.sort_indices(t["doc_id"])
+        urls = t["url"].take(order).to_pylist()
+        return np.array([u.encode("utf-8") for u in urls], dtype=bytes)
 
     # ---------- stage 4: postings shuffle + segments ----------
 

@@ -93,6 +93,117 @@ class PostingCursor:
         return True
 
 
+class LazyPostingCursor:
+    """Skip-block cursor: decodes ONE √df-sized block at a time, jumping
+    via skip pointers in ``next_geq`` — the reference's lazy traversal
+    (PostingListInterface.java:100-178, skip seek at :138-178) and the
+    10^12-doc path: a head term's multi-GB posting list never fully
+    decodes to serve a conjunctive query.
+
+    Chains a term's per-part segment rows in ascending part order (parts
+    are contiguous doc-id ranges). Protocol-compatible with
+    :class:`PostingCursor`.
+    """
+
+    __slots__ = (
+        "term", "tub", "rows", "row_i", "_dblob", "_tblob", "_skips",
+        "_n_blocks", "_block", "_ids", "_tfs", "pos", "doc_id", "tf",
+    )
+
+    def __init__(self, term: str, tub: float, rows: list[tuple[int, bytes, bytes, bytes]]):
+        self.term = term
+        self.tub = tub
+        self.rows = rows  # [(part, doc_ids_vb, tfs_vb, skips)], part-sorted
+        self.row_i = -1
+        self._block = -1
+        self._n_blocks = 0
+        self._ids: np.ndarray | None = None
+        self._tfs: np.ndarray | None = None
+        self.pos = -1
+        self.doc_id = -1
+        self.tf = 0
+
+    def _open_row(self, i: int) -> None:
+        part, dblob, tblob, sblob = self.rows[i]
+        self.row_i = i
+        self._dblob = dblob
+        self._tblob = tblob
+        self._skips = codec.parse_skips(sblob)
+        self._n_blocks = len(self._skips) + 1
+        self._block = -1
+
+    def _decode_block(self, k: int) -> None:
+        s = self._skips
+        dstart = 0 if k == 0 else int(s[k - 1, 1])
+        tstart = 0 if k == 0 else int(s[k - 1, 2])
+        dend = int(s[k, 1]) if k < len(s) else len(self._dblob)
+        tend = int(s[k, 2]) if k < len(s) else len(self._tblob)
+        gaps = codec.vb_decode(self._dblob[dstart:dend]).astype(np.int64)
+        ids = np.cumsum(gaps)
+        if k > 0:
+            # first gap spans the block boundary; the skip entry carries
+            # the absolute first doc id of this block
+            ids += int(s[k - 1, 0]) - int(gaps[0])
+        self._ids = ids
+        self._tfs = codec.vb_decode(self._tblob[tstart:tend]).astype(np.int64)
+        self._block = k
+        self.pos = -1
+
+    def _set(self, pos: int) -> None:
+        self.pos = pos
+        self.doc_id = int(self._ids[pos])
+        self.tf = int(self._tfs[pos])
+
+    def next(self) -> bool:
+        while True:
+            if self._block >= 0 and self.pos + 1 < len(self._ids):
+                self._set(self.pos + 1)
+                return True
+            if self.row_i >= 0 and self._block + 1 < self._n_blocks:
+                self._decode_block(self._block + 1)
+                continue
+            if self.row_i + 1 < len(self.rows):
+                self._open_row(self.row_i + 1)
+                self._decode_block(0)
+                continue
+            return False
+
+    def next_geq(self, target: int) -> bool:
+        if self._block < 0:
+            if not self.next():
+                return False
+        if self.doc_id >= target:
+            return True
+        while True:
+            s = self._skips
+            # candidate block in the current row: last block whose first
+            # doc id is <= target (skip entries hold blocks 1..n-1)
+            k = int(np.searchsorted(s[:, 0], target, side="right")) if len(s) else 0
+            if k > self._block:
+                self._decode_block(k)
+            if self._ids[-1] >= target:
+                self._set(int(np.searchsorted(self._ids, target, side="left")))
+                return True
+            if self._block + 1 < self._n_blocks:
+                # target sits in the gap between block k and k+1: the
+                # answer is block k+1's first posting
+                self._decode_block(self._block + 1)
+                self._set(0)
+                return True
+            # row exhausted below target: chain to the next part's row
+            if self.row_i + 1 < len(self.rows):
+                self._open_row(self.row_i + 1)
+                self._decode_block(0)
+                if self._ids[0] >= target:
+                    self._set(0)
+                    return True
+                continue
+            # fully exhausted: park on the very last posting (PostingCursor
+            # / reference while-next semantics), report failure
+            self._set(len(self._ids) - 1)
+            return False
+
+
 class TopKQueue:
     """The reference's TreeSet<DocumentScore>: descending-score order where
     compareTo == 0 collapses entries — equal scores keep only the first
@@ -141,6 +252,7 @@ class QueryEngine:
         *,
         traversal: str = "vectorized",
         scoring: str = "bm25",
+        cursor: str = "decoded",
     ):
         """``traversal``:
 
@@ -185,6 +297,12 @@ class QueryEngine:
         if scoring == "tfidf" and traversal != "vectorized":
             raise ValueError("tfidf scoring requires traversal='vectorized'")
         self.scoring = scoring
+        # "decoded": whole posting lists decoded + cached (fast for hot
+        # terms). "lazy": LazyPostingCursor decodes one skip-block at a
+        # time in the DAAT path (head lists never fully decode).
+        if cursor not in ("decoded", "lazy"):
+            raise ValueError(f"unknown cursor mode {cursor!r}")
+        self.cursor_mode = cursor
         self.stats = CollectionStats.load(index_dir)
 
         lex = pq.read_table(os.path.join(index_dir, "lexicon"))
@@ -214,7 +332,7 @@ class QueryEngine:
 
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
-        self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes]]]] = {}
+        self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes, bytes]]]] = {}
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
     # ---------- doc table ----------
@@ -241,19 +359,22 @@ class QueryEngine:
         if cached is not None:
             return cached
         path = segment_path(self.index_dir, bucket)
-        out: dict[str, list[tuple[int, bytes, bytes]]] = {}
+        out: dict[str, list[tuple[int, bytes, bytes, bytes]]] = {}
         if os.path.exists(path):
-            t = pq.read_table(path, columns=["term", "part", "doc_ids_vb", "tfs_vb"])
+            t = pq.read_table(
+                path, columns=["term", "part", "doc_ids_vb", "tfs_vb", "skips"]
+            )
             terms = t["term"].to_pylist()
             parts = t["part"].to_numpy(zero_copy_only=False)
             dvb = t["doc_ids_vb"].to_pylist()
             tvb = t["tfs_vb"].to_pylist()
-            for tm, p, d, f in zip(terms, parts, dvb, tvb):
-                out.setdefault(tm, []).append((int(p), d, f))
+            svb = t["skips"].to_pylist()
+            for tm, p, d, f, s in zip(terms, parts, dvb, tvb, svb):
+                out.setdefault(tm, []).append((int(p), d, f, s))
         self._bucket_cache[bucket] = out
         return out
 
-    def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes]]:
+    def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes, bytes]]:
         rows = []
         for part in range(self._n_parts):
             b = term_bucket_one(term, part, self.config.num_buckets)
@@ -277,7 +398,7 @@ class QueryEngine:
             self._postings_cache[term] = None
             return None
         ids_parts, tf_parts = [], []
-        for _, dvb, tvb in rows:
+        for _, dvb, tvb, _skips in rows:
             ids, tfs = codec.decode_posting_list(dvb, tvb)
             ids_parts.append(ids)
             tf_parts.append(tfs)
@@ -383,12 +504,20 @@ class QueryEngine:
                     return []  # missing term: conjunctive returns nothing
                 continue
             lex_rows[tok] = row
-            p = self.get_postings(tok)
-            if p is None:
-                if qtype == "and":
-                    return []
-                continue
-            cursors.append(PostingCursor(tok, row[2], p[0], p[1]))
+            if self.cursor_mode == "lazy":
+                seg_rows = self._read_segment_rows(tok)
+                if not seg_rows:
+                    if qtype == "and":
+                        return []
+                    continue
+                cursors.append(LazyPostingCursor(tok, row[2], seg_rows))
+            else:
+                p = self.get_postings(tok)
+                if p is None:
+                    if qtype == "and":
+                        return []
+                    continue
+                cursors.append(PostingCursor(tok, row[2], p[0], p[1]))
 
         # advance each list to its first posting; drop empty ones
         cursors = [c for c in cursors if c.next()]

@@ -39,7 +39,7 @@ class PostingsExplode:
         self,
         config: IndexConfig,
         num_docs: int,
-        sorted_urls_ref=None,  # ray.ObjectRef of np.ndarray[object], dense mode
+        sorted_urls_ref=None,  # ray.ObjectRef of pa.StringArray, dense mode
     ):
         self.config = config
         self.num_docs = num_docs
@@ -47,14 +47,20 @@ class PostingsExplode:
         self._urls_ref = sorted_urls_ref
         self._sorted_urls = None
 
-    def _resolve_ids(self, urls: np.ndarray) -> np.ndarray:
+    def _resolve_ids(self, url_col: pa.Array) -> np.ndarray:
         if self.config.id_mode == "hash":
-            return url_hash_ids(urls)
+            return url_hash_ids(np.asarray(url_col.to_pylist(), dtype=object))
         if self._sorted_urls is None:
             import ray
 
             self._sorted_urls = ray.get(self._urls_ref)
-        return np.searchsorted(self._sorted_urls, urls).astype(np.int64)
+        # rank lookup: memcmp searchsorted over the broadcast fixed-width
+        # bytes array (UTF-8 byte order == Arrow string sort order)
+        width = self._sorted_urls.dtype.itemsize
+        batch_urls = np.array(
+            [u.encode("utf-8") for u in url_col.to_pylist()], dtype=f"S{width}"
+        )
+        return np.searchsorted(self._sorted_urls, batch_urls).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms_list = batch["terms"]
@@ -68,8 +74,9 @@ class PostingsExplode:
         offsets = terms_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = offsets[1:] - offsets[:-1]
 
-        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
-        doc_ids = self._resolve_ids(urls)
+        url_col = batch["url"]
+        url_col = url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
+        doc_ids = self._resolve_ids(url_col)
         doc_len = batch["doc_len"].to_numpy(zero_copy_only=False)
 
         flat_terms = terms_list.values

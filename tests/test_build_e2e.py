@@ -320,6 +320,98 @@ class TestTieCollapseEndToEnd:
         assert "https://t/1" not in docs  # exact tie with doc 0 collapsed
 
 
+class TestLazyCursor:
+    """Q3/E3: skip-block lazy traversal (PostingListInterface.java:100-178,
+    PostingListInterfaceTest.skipBlocksTest)."""
+
+    @pytest.fixture(scope="class")
+    def skip_built(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        d = tmp_path_factory.mktemp("skipidx")
+        table = synth_pages_table(300, seed=29)
+        pq.write_table(table, str(d / "pages.parquet"))
+        cfg = IndexConfig(
+            skip_pointers_threshold=16, num_doc_partitions=2, num_buckets=8
+        )
+        idx = str(d / "index")
+        build_index(
+            rd.read_parquet(str(d / "pages.parquet"), columns=["url", "text"]),
+            idx, cfg,
+        )
+        return idx, cfg
+
+    def test_next_geq_lands_on_every_skip_id(self, skip_built):
+        """For every skip pointer of a skip-bearing term, a fresh cursor's
+        next_geq(skip doc id) must land exactly on that id
+        (PostingListInterfaceTest.java:23-35)."""
+        from invertedindex_ray.engine import LazyPostingCursor
+        from invertedindex_ray.functions import codec
+
+        idx, cfg = skip_built
+        e = QueryEngine(idx, cfg)
+        tested = 0
+        for term, (df, _, tub) in e.lexicon.items():
+            rows = e._read_segment_rows(term)
+            for part, _d, _t, skips in rows:
+                for doc_id, _, _ in codec.parse_skips(skips):
+                    c = LazyPostingCursor(term, tub, rows)
+                    assert c.next_geq(int(doc_id))
+                    assert c.doc_id == int(doc_id), term
+                    tested += 1
+        assert tested > 10  # the fixture must actually exercise skips
+
+    def test_lazy_cursor_enumerates_identically(self, skip_built):
+        from invertedindex_ray.engine import LazyPostingCursor
+
+        idx, cfg = skip_built
+        e = QueryEngine(idx, cfg)
+        for term, (df, _, tub) in list(e.lexicon.items())[:10]:
+            ids, tfs = e.get_postings(term)
+            c = LazyPostingCursor(term, tub, e._read_segment_rows(term))
+            got = []
+            while c.next():
+                got.append((c.doc_id, c.tf))
+            assert got == list(zip(ids.tolist(), tfs.tolist())), term
+
+    def test_lazy_daat_matches_decoded_daat(self, skip_built):
+        idx, cfg = skip_built
+        el = QueryEngine(idx, cfg, traversal="daat", cursor="lazy")
+        ed = QueryEngine(idx, cfg, traversal="daat", cursor="decoded")
+        for q in [
+            "OR data index search query",
+            "AND data index",
+            "OR ranking retrieval posting compression",
+            "AND the data",  # stopword dropped
+        ]:
+            rl = _canonical(el.query(q, 10))
+            rd_ = _canonical(ed.query(q, 10))
+            assert rl == rd_, q
+
+    def test_next_geq_between_blocks_and_past_end(self, skip_built):
+        from invertedindex_ray.engine import LazyPostingCursor
+        from invertedindex_ray.functions import codec
+
+        idx, cfg = skip_built
+        e = QueryEngine(idx, cfg)
+        term = max(e.lexicon, key=lambda t: e.lexicon[t][0])  # head term
+        rows = e._read_segment_rows(term)
+        ids, _ = e.get_postings(term)
+        id_set = set(ids.tolist())
+        # a target that is not a posting: lands on the next greater id
+        for probe in range(0, int(ids[-1]), max(1, len(ids) // 7)):
+            c = LazyPostingCursor(term, 0.0, rows)
+            expect = ids[ids >= probe]
+            if len(expect):
+                assert c.next_geq(probe)
+                assert c.doc_id == int(expect[0])
+        # past the end: returns False, parked on the last posting
+        c = LazyPostingCursor(term, 0.0, rows)
+        assert not c.next_geq(int(ids[-1]) + 1)
+        assert c.doc_id == int(ids[-1])
+
+
 class TestTextualSink:
     def test_dump_matches_oracle_postings(self, built, tmp_path, ray_session):
         """S3: the ASCII mirror of the binary segments must decode to the
