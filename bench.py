@@ -100,11 +100,14 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
 
         e = QueryEngine(idx_dir, cfg)
 
-        # (a) in-vocabulary queries: real DAAT traversal over hot postings
+        # (a) in-vocabulary queries over the FULL Zipf vocabulary (head +
+        # tail terms — representative df mix); plus (a') a pure-head-term
+        # worst case (every term matches 10-50% of the corpus)
         rng = np.random.default_rng(99)
-        vocab = [w for w in _WORDS[:60] if len(w) > 2]
+        full_vocab = [w for w in _WORDS if len(w) > 2]
+        head_vocab = [w for w in _WORDS[:60] if len(w) > 2]
         in_vocab = [
-            ("v%d" % i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 5)))))
+            ("v%d" % i, " ".join(rng.choice(full_vocab, size=int(rng.integers(2, 5)))))
             for i in range(2000)
         ]
         lat = []
@@ -119,6 +122,17 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         detail["daat_qps"] = round(len(in_vocab) / dt, 1)
         detail["daat_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
         detail["daat_p99_ms"] = round(lat[int(len(lat) * 0.99)] * 1000, 2)
+
+        head_qs = [
+            ("h%d" % i, " ".join(rng.choice(head_vocab, size=int(rng.integers(2, 5)))))
+            for i in range(500)
+        ]
+        t0 = time.time()
+        for qid, q in head_qs:
+            e.query("OR " + q, 100)
+        dt = time.time() - t0
+        queries["daat_head_500q"] = round(dt, 3)
+        detail["daat_head_p_ms"] = round(dt / len(head_qs) * 1000, 2)
 
         # (b) the reference repo's MS MARCO dev queries (tokenizer + lookup
         # path; most terms miss the synthetic vocabulary)

@@ -569,15 +569,30 @@ class QueryEngine:
 
         ids = np.concatenate([sp[0] for _, _, sp in terms])
         scores = np.concatenate([sp[1] for _, _, sp in terms])
-        uniq_ids, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
-        totals = np.bincount(inv, weights=scores)
-        if qtype == "and":
-            need = len(terms)
-            mask = counts == need
-            if not mask.any():
+        if self._dense:
+            # dense ids: direct O(n + N) accumulation, no sort
+            n_docs = len(self._doc_ids)
+            acc = np.bincount(ids, weights=scores, minlength=n_docs)
+            cnt = np.bincount(ids, minlength=n_docs)
+            if qtype == "and":
+                hit = np.flatnonzero(cnt == len(terms))
+            else:
+                hit = np.flatnonzero(cnt)
+            if not len(hit):
                 return []
-            uniq_ids = uniq_ids[mask]
-            totals = totals[mask]
+            uniq_ids = hit
+            totals = acc[hit]
+        else:
+            uniq_ids, inv, counts = np.unique(
+                ids, return_inverse=True, return_counts=True
+            )
+            totals = np.bincount(inv, weights=scores)
+            if qtype == "and":
+                mask = counts == len(terms)
+                if not mask.any():
+                    return []
+                uniq_ids = uniq_ids[mask]
+                totals = totals[mask]
 
         # top-k distinct scores, min doc id each: lexsort by (-score, id),
         # keep the first row of each score group, take k
