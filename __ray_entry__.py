@@ -75,6 +75,36 @@ def _daat_results_table(sf_dir: str, qtype_filter: str | None = None):
     )
 
 
+def _served_results_table(sf_dir: str):
+    """DAAT through the map_batches actor pool (pipelines/serving.py) —
+    one engine per actor, queries streamed as a Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.pipelines.serving import serve_queries
+
+    cfg = IndexConfig()
+    _built_engine(sf_dir, cfg)  # ensure the index exists on disk
+    idx = _index_dir_for(sf_dir, cfg)
+    bare = [(qid, q.split(" ", 1)[1]) for qid, q in DRIVER_QUERY_SET
+            if q.upper().startswith("OR ")]
+    ds = serve_queries(idx, bare, config=cfg, k=_K, concurrency=2)
+    t = pa.Table.from_pylist(ds.take_all())
+    if t.num_rows == 0:
+        return pa.table({"qid": pa.array([], pa.string()),
+                         "url": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "score_r": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "qid": t["qid"],
+            "url": t["url"],
+            "rank": t["rank"],
+            "score_r": pc.round(t["score"], ndigits=9),
+        }
+    )
+
+
 # ---------------------------------------------------------------- entry
 
 def entry() -> Any:
@@ -106,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
         # --- full engine: stemmed index + MaxScore DAAT (rows-only) ---
         "topk_daat": lambda sf: _daat_results_table(sf).to_pandas(),
+        # --- actor-pool batch serving: same engine behind map_batches ---
+        "topk_daat_distributed": lambda sf: _served_results_table(sf),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),

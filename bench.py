@@ -7,8 +7,8 @@
 Env:
   GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS    ray.init num_cpus (default 32)
-  BENCH_COMPONENTS  comma list (default all): build,daat,topk_batch,
-                    dedup_minhash,ann
+  BENCH_COMPONENTS  comma list (default all): build,daat,serve,
+                    topk_batch,dedup_minhash,ann
 
 `--scaling` runs the headline index build twice in fresh processes
 (num_cpus=8 then 32) on the same corpus and reports throughputs +
@@ -91,10 +91,20 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         detail["build_tokens_per_s"] = round(stats.total_tokens / dt, 1)
         detail["num_docs"] = stats.num_docs
 
+    def ensure_index():
+        """Build the index (untimed) when the build component didn't run."""
+        import os as _os
+
+        if not _os.path.exists(_os.path.join(idx_dir, "stats.json")):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            build_index(rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg)
+
     if "daat" in components:
         import numpy as np
 
         from invertedindex_ray.engine import QueryEngine
+
+        ensure_index()
         from invertedindex_ray.pipelines.query_sets import reference_query_set
         from invertedindex_ray.sources.bench_corpus import _WORDS
 
@@ -141,6 +151,28 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         for qid, q in qs:
             e.query("OR " + q, 100)
         queries["daat_msmarco_2000q"] = round(time.time() - t0, 3)
+
+    if "serve" in components:
+        from invertedindex_ray.pipelines.serving import serve_queries
+        from invertedindex_ray.sources.bench_corpus import _WORDS
+        import numpy as np
+
+        ensure_index()
+        rng = np.random.default_rng(7)
+        vocab = [w for w in _WORDS if len(w) > 2]
+        qs = [
+            ("s%d" % i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 5)))))
+            for i in range(2000)
+        ]
+        conc = max(2, num_cpus // 4)
+        t0 = time.time()
+        n_rows = serve_queries(
+            idx_dir, qs, config=cfg, k=100, concurrency=conc
+        ).count()
+        dt = time.time() - t0
+        queries["serve_2000q"] = round(dt, 3)
+        detail["serve_qps"] = round(len(qs) / dt, 1)
+        detail["serve_concurrency"] = conc
 
     if "topk_batch" in components:
         from invertedindex_ray.pipelines.batch_query import batch_topk
@@ -245,6 +277,6 @@ if __name__ == "__main__":
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
-            "BENCH_COMPONENTS", "build,daat,topk_batch,dedup_minhash,ann"
+            "BENCH_COMPONENTS", "build,daat,serve,topk_batch,dedup_minhash,ann"
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))

@@ -412,6 +412,29 @@ class TestLazyCursor:
         assert c.doc_id == int(ids[-1])
 
 
+class TestServing:
+    def test_actor_pool_matches_single_engine(self, built, ray_session):
+        """ST3: map_batches(QueryEngineActor, concurrency=N) must return
+        exactly what one driver-side engine returns."""
+        from invertedindex_ray.pipelines.serving import serve_queries
+
+        table, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        qs = [("q1", "data index"), ("q2", "posting lexicon search"),
+              ("q3", "zzznope"), ("q4", "ranking retrieval")]
+        out = serve_queries(idx_dir, qs, config=cfg, k=5, concurrency=2,
+                            batch_size=2).take_all()
+        got: dict[str, list] = {}
+        for r in out:
+            got.setdefault(r["qid"], []).append((r["rank"], r["url"], round(r["score"], 9)))
+        for qid, q in qs:
+            expect = [
+                (i, u, round(s, 9))
+                for i, (u, s) in enumerate(e.query("OR " + q, 5), 1)
+            ]
+            assert sorted(got.get(qid, [])) == expect, qid
+
+
 class TestTextualSink:
     def test_dump_matches_oracle_postings(self, built, tmp_path, ray_session):
         """S3: the ASCII mirror of the binary segments must decode to the
@@ -504,6 +527,48 @@ class TestResume:
         assert e.query("OR " + fixed_point, 3)
         with pytest.raises(ValueError, match="config mismatch"):
             QueryEngine(idx_dir, IndexConfig(num_buckets=cfg.num_buckets + 1))
+
+    def test_bucket_level_resume(self, built, tmp_path, ray_session):
+        """A build interrupted mid-segments reuses completed bucket files:
+        only missing buckets are rewritten (checkpoint with per-partition
+        lineage, BASELINE.json north_rule)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        table, cfg, idx_dir, _ = built
+        idx2 = str(tmp_path / "resume-idx")
+        shutil.copytree(idx_dir, idx2)
+        seg_dir = os.path.join(idx2, "segments")
+        victims = sorted(os.listdir(seg_dir))[:2]
+        for v in victims:
+            os.unlink(os.path.join(seg_dir, v))
+            st = v.replace(".parquet", "") + ".parquet"
+            stats_f = os.path.join(idx2, "segstats", st)
+            if os.path.exists(stats_f):
+                os.unlink(stats_f)
+        # wind the manifest back to "segments incomplete"
+        with open(os.path.join(idx2, "manifest.json")) as f:
+            m = json.load(f)
+        for stage in ("segments", "lexicon", "build"):
+            m["stages"].pop(stage, None)
+        with open(os.path.join(idx2, "manifest.json"), "w") as f:
+            json.dump(m, f)
+        survivors = {
+            v: os.path.getmtime(os.path.join(seg_dir, v))
+            for v in os.listdir(seg_dir)
+        }
+        b = IndexBuilder(idx2, cfg)
+        b.build(pages=None)  # tokenized checkpoint exists; pages unused
+        for v, mt in survivors.items():
+            assert os.path.getmtime(os.path.join(seg_dir, v)) == mt, v
+        for v in victims:
+            assert os.path.exists(os.path.join(seg_dir, v)), v
+        # resumed index answers identically to the original
+        e1, e2 = QueryEngine(idx_dir, cfg), QueryEngine(idx2, cfg)
+        for q in ["OR data index search", "AND posting lexicon"]:
+            assert e1.query(q, 10) == e2.query(q, 10), q
 
     def test_manifest_metrics_recorded(self, built):
         _, _, idx_dir, stats = built
