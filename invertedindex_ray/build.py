@@ -104,7 +104,17 @@ class IndexBuilder:
         if {"url", "text"} - cols:
             raise ValueError(f"pages dataset must have url+text, got {cols}")
         ds = pages
-        if cols - {"url", "text"}:
+        if "html" in cols:
+            # html -> text extraction (S1/§3 lifecycle): identity on rows
+            # whose text is already populated (input_hint: byte-identical
+            # text per url); fills text from html otherwise. A heavyweight
+            # HTML parser would make this an actor pool (callable class).
+            from invertedindex_ray.sources.pages import extract_text_batch
+
+            ds = ds.select_columns(["url", "text", "html"]).map_batches(
+                extract_text_batch, batch_format="pyarrow"
+            )
+        if set(ds.schema().names) - {"url", "text"}:
             ds = ds.select_columns(["url", "text"])
         cfg = self.config
         if self.tokenize_concurrency is not None:

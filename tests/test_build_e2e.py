@@ -412,6 +412,31 @@ class TestLazyCursor:
         assert c.doc_id == int(ids[-1])
 
 
+class TestHtmlExtraction:
+    def test_build_fills_text_from_html(self, built, tmp_path, ray_session):
+        """input_hint invariant: building from pages whose text column is
+        partially null (html present) must equal building from full text —
+        byte-identical extraction per url."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        table, cfg, idx_dir, _ = built
+        texts = table["text"].to_pylist()
+        nulled = [t if i % 3 else None for i, t in enumerate(texts)]
+        t2 = table.set_column(
+            table.schema.get_field_index("text"), "text",
+            pa.array(nulled, type=pa.string()),
+        )
+        pq.write_table(t2, str(tmp_path / "pages.parquet"))
+        idx2 = str(tmp_path / "idx-html")
+        build_index(rd.read_parquet(str(tmp_path / "pages.parquet")), idx2, cfg)
+        e1, e2 = QueryEngine(idx_dir, cfg), QueryEngine(idx2, cfg)
+        assert e1.lexicon == e2.lexicon
+        for q in ["OR data index search", "AND posting lexicon"]:
+            assert e1.query(q, 10) == e2.query(q, 10), q
+
+
 class TestServing:
     def test_actor_pool_matches_single_engine(self, built, ray_session):
         """ST3: map_batches(QueryEngineActor, concurrency=N) must return
