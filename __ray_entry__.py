@@ -153,6 +153,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: textstats.lang_id(sf),
         "fingerprint_md5": lambda sf: textstats.fingerprint_md5(sf),
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
+        # --- event windowing (streaming-shaped ops over the events table) ---
+        "window_tumbling": lambda sf: __import__(
+            "invertedindex_ray.pipelines.windows", fromlist=["x"]
+        ).tumbling_counts(sf),
+        "sessionize": lambda sf: __import__(
+            "invertedindex_ray.pipelines.windows", fromlist=["x"]
+        ).sessionize(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -379,6 +386,38 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tstats t USING (doc_id)
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "window_tumbling": """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+g AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id, sid
+""",
         "binary_metadata": (
             "SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url, "
             "(26 + strlen(text))::BIGINT AS n_bytes, 'text/html' AS kind FROM documents"

@@ -1,0 +1,123 @@
+"""Windowed aggregates over the ``events`` stream table.
+
+The reference is batch-only (SURVEY.md §2: no streaming/windows), but a
+training-data pipeline needs event windowing; these are the Ray-Data-first
+forms:
+
+- tumbling window = truncate the timestamp to the window start inside
+  ``map_batches`` (embarrassingly parallel), then ONE small groupby over
+  (window, key) — the partial-combine pattern keeps the shuffle at one row
+  per (window, key, event_type) per batch.
+- sessionization = ``groupby(user_id).map_groups`` with a vectorized
+  gap-split inside each group (per-key state never leaves one task).
+
+Both have exact DuckDB oracles (driver contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_HOUR_US = 3_600_000_000
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_counts(sf_dir: str, window_hours: int = 1):
+    """Per (hour-window, event_type): event count + sum(value),
+    pre-aggregated per batch before the groupby."""
+    from ray.data.aggregate import Sum
+
+    w_us = window_hours * _HOUR_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // w_us) * w_us
+        et = batch["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        d = pc.dictionary_encode(et)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        key = win * np.int64(len(d.dictionary)) + codes
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        sv = np.bincount(inv, weights=val)
+        return pa.table(
+            {
+                "window_start": pa.array(uniq // len(d.dictionary), type=pa.int64()),
+                "event_type": d.dictionary.take(
+                    pa.array(uniq % len(d.dictionary), type=pa.int64())
+                ),
+                "n_p": pa.array(n.astype(np.int64), type=pa.int64()),
+                "sum_value_p": pa.array(sv, type=pa.float64()),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_value_p", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from invertedindex_ray.functions.rounding import round_half_up
+
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "event_type": batch["event_type"].combine_chunks()
+                if isinstance(batch["event_type"], pa.ChunkedArray)
+                else batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value_r": pa.array(round_half_up(sv, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user sessions: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_start, session_end, n_events).
+
+    groupby(user_id).map_groups keeps all of a user's events in one task;
+    the split is a vectorized diff, the reference pattern for keyed
+    streaming state in a batch engine."""
+    gap_us = gap_minutes * 60_000_000
+
+    def split(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        uid = int(group["user_id"][0].as_py())
+        new = np.empty(len(ts), dtype=bool)
+        new[0] = True
+        np.greater(ts[1:] - ts[:-1], gap_us, out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ts))
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid), type=pa.int64()),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ts[ends - 1], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(split, batch_format="pyarrow")
+    )

@@ -146,3 +146,50 @@ class TestMultimodal:
         assert (w, h) == (w2, h2)
         assert np.array_equal(f, f2)
         assert len(f) == 8 and (0 <= f).all() and (f < 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindows:
+    def test_tumbling_counts_match_duckdb(self):
+        import duckdb
+
+        from invertedindex_ray.pipelines.windows import tumbling_counts
+
+        got = (
+            _pdf(tumbling_counts(SF))
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        exp = con.execute(
+            """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                      count(*)::BIGINT AS n_events,
+                      round(sum(value), 6) AS sum_value_r
+               FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).df().reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got["n_events"].tolist() == exp["n_events"].tolist()
+        assert np.allclose(got["sum_value_r"], exp["sum_value_r"], atol=1e-9)
+
+    def test_sessionize_gap_semantics(self):
+        from invertedindex_ray.pipelines.windows import sessionize
+
+        got = _pdf(sessionize(SF, gap_minutes=30))
+        # sessions of one user never overlap and respect the gap rule
+        for uid, g in got.groupby("user_id"):
+            g = g.sort_values("session_start")
+            prev_end = None
+            for _, row in g.iterrows():
+                assert row["session_end"] >= row["session_start"]
+                if prev_end is not None:
+                    gap = (row["session_start"] - prev_end).total_seconds()
+                    assert gap > 30 * 60, uid
+                prev_end = row["session_end"]
+        # total events conserved
+        import pyarrow.parquet as pq
+
+        n = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
+        assert int(got["n_events"].sum()) == n
