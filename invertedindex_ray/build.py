@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -138,6 +139,9 @@ class IndexBuilder:
                 batch_size=self.tokenize_batch_size,
             )
         out = self._tokenized_dir()
+        # a crashed attempt leaves partial UUID-named files; write_parquet
+        # appends rather than replaces, so clear the stage dir first
+        shutil.rmtree(out, ignore_errors=True)
         tok.write_parquet(out)
         self.manifest.mark_complete("tokenized", path=out)
 
@@ -184,6 +188,7 @@ class IndexBuilder:
                 return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
 
             out = slim.map_batches(add_hash_ids, batch_format="pyarrow").sort("doc_id")
+            shutil.rmtree(self._doc_table_dir(), ignore_errors=True)
             out.write_parquet(self._doc_table_dir())
         else:
             # dense ids = rank in sorted-url order, assigned via the
@@ -204,6 +209,7 @@ class IndexBuilder:
                 return block.append_column("doc_id", pa.array(ids, type=pa.int64()))
 
             stamped = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+            shutil.rmtree(self._doc_table_dir(), ignore_errors=True)
             rd.from_arrow_refs(stamped).write_parquet(self._doc_table_dir())
         self.manifest.mark_complete("doc_table", num_docs=stats.num_docs)
 
@@ -218,7 +224,20 @@ class IndexBuilder:
         t = pq.read_table(self._doc_table_dir(), columns=["url", "doc_id"])
         order = pc.sort_indices(t["doc_id"])
         urls = t["url"].take(order).to_pylist()
-        return np.array([u.encode("utf-8") for u in urls], dtype=bytes)
+        arr = np.array([u.encode("utf-8") for u in urls], dtype=bytes)
+        # url is the document identity (input_hint: byte-identical text per
+        # url); duplicate urls would make rank lookup collapse two doc ids
+        # onto one and silently corrupt postings — fail loudly instead and
+        # point at the dedup pipeline
+        if len(arr) > 1 and (arr[1:] == arr[:-1]).any():
+            dup = arr[1:][arr[1:] == arr[:-1]][0]
+            raise ValueError(
+                f"duplicate url in corpus (e.g. {dup!r}): urls must be "
+                "unique for dense doc ids — deduplicate first "
+                "(pipelines.dedup.exact_dedup) or use id_mode='hash' "
+                "with pre-deduped input"
+            )
+        return arr
 
     # ---------- stage 4: postings shuffle + segments ----------
 
@@ -292,6 +311,7 @@ class IndexBuilder:
                 }
             )
 
+        shutil.rmtree(self._lexicon_dir(), ignore_errors=True)
         lex.map_batches(finish, batch_format="pyarrow").sort("term").write_parquet(
             self._lexicon_dir()
         )

@@ -24,9 +24,8 @@ binary search plus skip-pointer support for the lazily-decoded path.
 
 from __future__ import annotations
 
-import json
 import os
-from bisect import bisect_left, insort
+from bisect import insort
 from collections import OrderedDict
 
 import numpy as np
@@ -325,10 +324,7 @@ class QueryEngine:
             and self._doc_ids[-1] == len(self._doc_ids) - 1
         )
 
-        from invertedindex_ray.stages.explode import part_divisor
-
         self._n_parts = max(1, self.config.num_doc_partitions)
-        self._divisor = part_divisor(self.config, self.stats.num_docs)
 
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
@@ -420,24 +416,25 @@ class QueryEngine:
             self._scored_cache[term] = None
             return None
         ids, tfs = p
-        if self._dense:
-            dls = self._doc_len[ids]
-        else:
-            dls = self._doc_len[np.searchsorted(self._doc_ids, ids)]
         import math
 
         k1, b = self.config.bm25_k1, self.config.bm25_b
         avg = self.stats.avg_doc_len
         idf = math.log(self.stats.num_docs / row[0])
-        tfsf = tfs.astype(np.float64)
         if self.scoring == "tfidf":
-            # ln(N/df) * (1 + ln(tf)) — ScoringFunctions.java:14-17
+            # ln(N/df) * (1 + ln(tf)) — ScoringFunctions.java:14-17;
+            # doc lengths are not used, so skip the per-posting gather
             uniq, inv = np.unique(tfs, return_inverse=True)
             logtf = np.fromiter(
                 (math.log(int(v)) for v in uniq), dtype=np.float64, count=len(uniq)
             )
             scores = idf * (1.0 + logtf[inv])
         else:
+            if self._dense:
+                dls = self._doc_len[ids]
+            else:
+                dls = self._doc_len[np.searchsorted(self._doc_ids, ids)]
+            tfsf = tfs.astype(np.float64)
             scores = (
                 tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
             ) * idf
@@ -479,8 +476,12 @@ class QueryEngine:
         score (tie-collapsed, <= k entries). Empty list when no results."""
         k = k if k is not None else self.config.top_k
         qtype, token_set = self.preprocess(query)
+        if k <= 0:
+            return []
 
-        cache_key = (frozenset(token_set | {qtype}), k)
+        # qtype kept OUT of the token set: a term that stems to the literal
+        # string "and"/"or" must not collide with the query type
+        cache_key = (qtype, frozenset(token_set), k)
         cached = self._query_cache.get(cache_key)
         if cached is not None:
             self._query_cache.move_to_end(cache_key)

@@ -85,15 +85,22 @@ def preprocess_token(
 
 
 class StemMemo:
-    """Cross-batch token -> stem memo (held per map_batches actor)."""
+    """Cross-batch token -> stem memo (held per map_batches actor or as a
+    module global in long-lived workers). Bounded: raw web vocabulary is
+    effectively unbounded (ids, typos, noise), so on overflow the cache
+    resets — the Zipf head repopulates within a batch, tail misses just
+    re-stem."""
 
-    __slots__ = ("cache",)
+    __slots__ = ("cache", "max_size")
 
-    def __init__(self) -> None:
+    def __init__(self, max_size: int = 1_000_000) -> None:
         self.cache: dict[str, str] = {}
+        self.max_size = max_size
 
     def stem_many(self, tokens: list[str]) -> list[str]:
         cache = self.cache
+        if len(cache) > self.max_size:
+            cache.clear()
         s = porter2.stem
         out = []
         for tok in tokens:

@@ -93,6 +93,29 @@ def _shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
 
 # ------------------------------------------------------------- minhash lsh
 
+def _mulmod_minhash(A: np.ndarray, B: np.ndarray, x: np.ndarray, P) -> np.ndarray:
+    """min over shingles x of (A*x + B) mod P per permutation, with exact
+    122-bit multiply via operand splitting (all uint64; P = 2^61-1).
+
+    a*x = a_hi*x_hi*2^64 + (a_hi*x_lo + a_lo*x_hi)*2^32 + a_lo*x_lo with
+    32-bit splits; 2^64 ≡ 8 and m*2^32 ≡ (m>>29) + (m&(2^29-1))<<32
+    (mod P, since 2^61 ≡ 1)."""
+    u32 = np.uint64(0xFFFFFFFF)
+
+    def red(v: np.ndarray) -> np.ndarray:  # v < 2^64 -> v mod P
+        v = (v & P) + (v >> np.uint64(61))
+        return np.where(v >= P, v - P, v)
+
+    a_hi, a_lo = A >> np.uint64(32), A & u32
+    x_hi, x_lo = x >> np.uint64(32), x & u32
+    t_lo = red(a_lo[:, None] * x_lo[None, :])                       # < 2^64
+    t_hh = red((a_hi[:, None] * x_hi[None, :]) * np.uint64(8))      # < 2^61
+    m = a_hi[:, None] * x_lo[None, :] + a_lo[:, None] * x_hi[None, :]  # < 2^62
+    t_mid = red((m >> np.uint64(29)) + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+    vals = red(red(t_lo + t_hh + t_mid) + B[:, None])
+    return vals.min(axis=1)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     *,
@@ -129,10 +152,13 @@ def minhash_lsh_pairs(
         for d, sh in zip(ids, shingles):
             if len(sh) == 0:
                 continue
-            # minhash: min over shingles of (a*x+b) mod p, per permutation
-            x = sh.astype(np.uint64)
-            vals = (A[:, None] * x[None, :] + B[:, None]) % P  # (perm, n)
-            sig = vals.min(axis=1)  # uint64 (num_perm,)
+            # minhash: min over shingles of (a*x+b) mod p, per permutation.
+            # a*x needs 122 bits, so split both operands and reduce mod
+            # P = 2^61-1 (Mersenne: 2^61 ≡ 1 mod P) entirely in uint64 —
+            # a plain uint64 multiply would wrap mod 2^64 and lose the
+            # universal-hash property.
+            x = sh.astype(np.uint64) % P
+            sig = _mulmod_minhash(A, B, x, P)
             sigs.append(sig)
             for b in range(bands):
                 seg = sig[b * rows_per_band : (b + 1) * rows_per_band]

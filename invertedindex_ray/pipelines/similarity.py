@@ -48,6 +48,7 @@ def ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
     qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0  # zero query vector: cosines 0, not NaN
     ref = ray.put((qids, qmat, qnorm))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -155,6 +156,7 @@ def ivf_ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_centroids: i
     cnorm[cnorm == 0] = 1.0
 
     qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0  # zero query vector: cosines 0, not NaN
     qc = (qmat @ centroids.T) / (qnorm[:, None] * cnorm[None, :])
     probe = np.argsort(-qc, axis=1)[:, :nprobe]  # (nq, nprobe)
     ref = ray.put((qids, qmat, qnorm, centroids, cnorm, probe))

@@ -211,6 +211,22 @@ class TestRetrievalRankIdentity:
             assert abs(len(r_v) - len(r_d)) <= 2, q
             assert r_v[:n] == r_d[:n], q
 
+    def test_cache_key_distinguishes_qtype_from_literal_tokens(self, built):
+        """'ands' stems to the literal 'and'; the cache key must keep the
+        query type separate or 'OR ands data' and 'AND ors data' collide."""
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        assert e.preprocess("OR ands data")[1] >= {"and", "data"}
+        e.query("OR ands data", 5)
+        e.query("AND ors data", 5)
+        assert len(e._query_cache) == 2
+
+    def test_k_zero_returns_empty_both_traversals(self, built):
+        _, cfg, idx_dir, _ = built
+        for trav in ("vectorized", "daat"):
+            e = QueryEngine(idx_dir, cfg, traversal=trav)
+            assert e.query("OR data index", 0) == []
+
     def test_conjunctive_is_subset_of_disjunctive_terms(self, built):
         _, cfg, idx_dir, _ = built
         e = QueryEngine(idx_dir, cfg)
