@@ -218,11 +218,11 @@ def run_scaling(sf_dir: str) -> dict:
     (lo, hi, lo, hi, ...) and efficiency is computed per adjacent pair,
     reporting the median pair — this controls for the ambient drift that
     a run-all-of-A-then-all-of-B design conflates with the cpu count.
-    Levels via BENCH_SCALE_CPUS="8,32"; rounds via BENCH_ROUNDS (3)."""
+    Levels via BENCH_SCALE_CPUS="8,32"; rounds via BENCH_ROUNDS (1)."""
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")
     )
-    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
     lo, hi = levels
 
     def one(ncpu: int) -> dict:
