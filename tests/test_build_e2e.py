@@ -476,6 +476,27 @@ class TestServing:
             assert sorted(got.get(qid, [])) == expect, qid
 
 
+class TestTrecIntegration:
+    def test_reference_query_batch_to_trec_run(self, built, tmp_path, ray_session):
+        """The reference's batch-evaluation flow (QueryProcessorTest:77-108):
+        dev-set TSV -> engine (OR, k) -> TREC run file, on a real index."""
+        from invertedindex_ray.pipelines.query_sets import reference_query_set
+        from invertedindex_ray.pipelines.trec import trec_run_table, write_trec_run
+
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        qs = reference_query_set(limit=50)
+        t = trec_run_table(e, qs, k=10)
+        out = str(tmp_path / "run.txt")
+        write_trec_run(t, out)
+        lines = open(out).read().splitlines()
+        assert len(lines) == t.num_rows
+        for ln in lines[:20]:
+            qid, q0, doc, rank, score, run = ln.split(" ")
+            assert q0 == "Q0" and run == "01"
+            assert int(rank) >= 1 and float(score) > 0
+
+
 class TestTextualSink:
     def test_dump_matches_oracle_postings(self, built, tmp_path, ray_session):
         """S3: the ASCII mirror of the binary segments must decode to the
