@@ -2,35 +2,60 @@
 
 Rebuild of the reference's two-phase SPIMI build
 (/root/reference/src/main/java/it/unipi/indexer/Indexer.java:57-139 ingest,
-BinaryIndexer.java:92-223 merge) as a streaming Dataset pipeline
+BinaryIndexer.java:92-223 merge) as TWO streaming Dataset executions
 (SURVEY.md §3 target shape):
 
-    read_parquet(pages)[url, text]
-      -> map_batches(TokenizeStage, actor pool)      # tokenize+stem+TF
-      -> write_parquet(tokenized/)                   # checkpoint (resume)
-    tokenized[url, doc_len]
-      -> sort(url) + block-offset prefix sum         # dense doc ids (J1)
-      -> doc_table/ + stats.json                     # A1 collection stats
-    tokenized -> map_batches(PostingsExplode)        # (term,doc_id,tf,...)
-      -> groupby(bucket)                             # THE one wide shuffle
-      -> map_groups(SegmentWriter)                   # sort, d-gap, VB, skips
-      -> segstats -> groupby(term) -> lexicon/       # df, cf, term ub (A2-A4)
+  1. prepare:  read_parquet(pages)[url, text]
+        -> map_batches(tokenize)                # tokenize+stem+TF (M1-M6)
+        -> sort(id key)                         # dense: url; hash: doc_id
+        -> per-block stamp tasks                # dense ids by prefix-sum
+             |- doc_table/part-%06d.parquet     # doc_id, url, doc_len
+             |- tokenized/part-%06d.parquet     # optional resume checkpoint
+             |- per-block partial stats         # O(#blocks) driver state
+  2. segments+lexicon (one fused pipeline, no barrier between them):
+     tokenized -> map_batches(PostingsPartial)  # combine + VB-compress
+        -> groupby(bucket)                      # THE one wide shuffle
+        -> map_groups(SegmentWriter)            # sort, d-gap, VB, skips
+        -> groupby(term) -> lexicon/            # df, cf, term ub (A2-A4)
 
-Memory-pressure spills, retries and backpressure come from Ray's streaming
-executor + object store (replacing the reference's heap watchdog,
-Indexer.java:142-163). Every stage records completion in manifest.json;
-segment buckets are individually resumable.
+Scale properties (the 100-TB contract):
+
+- Dense doc ids are assigned DISTRIBUTIVELY: the sort's per-block row
+  counts (block metadata, never the rows) are prefix-summed on the driver
+  — O(#blocks) driver state, no all-URL array is ever materialized or
+  broadcast (Indexer.java:28,126 ordering contract preserved: id = rank
+  of url in sorted order).
+- The sorted blocks are stamped in place and flow straight into the
+  postings explode, so the corpus makes exactly two all-to-all trips:
+  the id sort and the compressed postings shuffle.
+- Duplicate doc identities fail loudly in BOTH id modes: the stamp pass
+  checks adjacent keys inside each sorted block and the driver checks the
+  O(#blocks) block boundaries (dense: equal urls; hash: equal 63-bit ids,
+  i.e. a url dup or a birthday collision).
+- Memory-pressure spills, retries and backpressure come from Ray's
+  streaming executor + object store (replacing the reference's heap
+  watchdog, Indexer.java:142-163).
+
+Resumability: stage completion is recorded in manifest.json; segment
+buckets are individually resumable (atomic per-bucket files + sidecars).
+With ``checkpoint=True`` (default) the stamped tokenized corpus is also
+persisted so an interrupted segments stage restarts without re-tokenizing;
+``checkpoint=False`` skips that write (one fewer corpus copy) and a crash
+re-runs prepare.
 
 Index layout on disk::
 
     index_dir/
-      manifest.json           # per-stage lineage + metrics
-      stats.json              # num_docs, total_tokens, avg_doc_len
-      tokenized/*.parquet     # checkpoint: url, doc_len, terms, tfs
-      doc_table/*.parquet     # doc_id, url, doc_len (sorted by doc_id)
+      manifest.json             # per-stage lineage + metrics
+      config.json               # build-time IndexConfig (self-describing)
+      stats.json                # num_docs, total_tokens, avg_doc_len
+      doc_table/part-%06d.parquet  # doc_id, url, doc_len — doc-id order,
+                                   # zero-padded names = positional fetch
+      tokenized/part-%06d.parquet  # optional checkpoint: doc_id, doc_len,
+                                   # terms, tfs (doc-id order)
       segments/bucket=K.parquet  # term, part, df, doc_ids_vb, tfs_vb, skips
       segstats/bucket=K.parquet  # slim per-(term,part) stats sidecar
-      lexicon/*.parquet       # term, df, cf, tub (sorted by term)
+      lexicon/*.parquet          # term, df, cf, tub (sorted by term)
 """
 
 from __future__ import annotations
@@ -47,7 +72,15 @@ from invertedindex_ray.config import IndexConfig
 from invertedindex_ray.stages.explode import PostingsPartial
 from invertedindex_ray.stages.segment import SegmentWriter
 from invertedindex_ray.stages.tokenize import TokenizeStage
-from invertedindex_ray.state.manifest import Manifest, atomic_write_json
+from invertedindex_ray.state.manifest import (
+    Manifest,
+    atomic_write_json,
+    atomic_write_table,
+)
+
+# artifact dirs owned by the build; wiped on config-fingerprint mismatch so
+# a rebuild under different settings can never mix stale files in
+ARTIFACT_DIRS = ("tokenized", "doc_table", "segments", "segstats", "lexicon")
 
 
 @dataclass
@@ -73,6 +106,99 @@ class CollectionStats:
         )
 
 
+def _stamp_block(
+    block: pa.Table,
+    offset: int,
+    block_idx: int,
+    index_dir: str,
+    id_mode: str,
+    write_tokenized: bool,
+):
+    """Stamp one sorted block: assign dense ids (dense mode), validate
+    within-block key uniqueness, write the doc-table slice (and optionally
+    the tokenized checkpoint slice) with a zero-padded name so lexicographic
+    file order == doc-id order, and return (stamped block, partial stats).
+
+    Runs as a Ray task (num_returns=2); driver work stays O(#blocks)."""
+    n = block.num_rows
+    url = block["url"]
+    url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+    if id_mode == "dense":
+        import pyarrow.compute as pc
+
+        ids = pa.array(np.arange(offset, offset + n, dtype=np.int64), type=pa.int64())
+        dup_mask = pc.equal(url.slice(1), url.slice(0, max(n - 1, 0)))
+        dup = int(pc.sum(dup_mask).as_py() or 0) if n > 1 else 0
+        dup_example = None
+        if dup:
+            i = int(np.flatnonzero(dup_mask.to_numpy(zero_copy_only=False))[0])
+            dup_example = url[i].as_py()
+        out = pa.table(
+            {
+                "doc_id": ids,
+                "url": url,
+                "doc_len": block["doc_len"].combine_chunks()
+                if isinstance(block["doc_len"], pa.ChunkedArray)
+                else block["doc_len"],
+                "terms": block["terms"].combine_chunks()
+                if isinstance(block["terms"], pa.ChunkedArray)
+                else block["terms"],
+                "tfs": block["tfs"].combine_chunks()
+                if isinstance(block["tfs"], pa.ChunkedArray)
+                else block["tfs"],
+            }
+        )
+        first_key = url[0].as_py() if n else None
+        last_key = url[n - 1].as_py() if n else None
+    else:
+        ids_np = block["doc_id"].to_numpy(zero_copy_only=False)
+        dup = int((ids_np[1:] == ids_np[:-1]).sum()) if n > 1 else 0
+        dup_example = None
+        if dup:
+            i = int(np.flatnonzero(ids_np[1:] == ids_np[:-1])[0])
+            dup_example = url[i].as_py()
+        out = block.select(["doc_id", "url", "doc_len", "terms", "tfs"])
+        first_key = int(ids_np[0]) if n else None
+        last_key = int(ids_np[n - 1]) if n else None
+
+    atomic_write_table(
+        os.path.join(index_dir, "doc_table", f"part-{block_idx:06d}.parquet"),
+        out.select(["doc_id", "url", "doc_len"]),
+    )
+    stamped = out.select(["doc_id", "doc_len", "terms", "tfs"])
+    if write_tokenized:
+        atomic_write_table(
+            os.path.join(index_dir, "tokenized", f"part-{block_idx:06d}.parquet"),
+            stamped,
+        )
+    info = {
+        "num_rows": n,
+        "sum_doc_len": int(
+            np.sum(block["doc_len"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        )
+        if n
+        else 0,
+        "first_key": first_key,
+        "last_key": last_key,
+        "dup": dup,
+        "dup_example": dup_example,
+    }
+    return stamped, info
+
+
+_EMPTY_TOKENIZED = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("doc_len", pa.int32()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
+)
+_EMPTY_DOC_TABLE = pa.schema(
+    [("doc_id", pa.int64()), ("url", pa.string()), ("doc_len", pa.int32())]
+)
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -82,25 +208,31 @@ class IndexBuilder:
         tokenize_concurrency: int | None = None,
         tokenize_batch_size: int = 1024,
         explode_batch_size: int = 2048,
+        checkpoint: bool = True,
     ):
         self.index_dir = index_dir
         self.config = config or IndexConfig()
         self.tokenize_concurrency = tokenize_concurrency
         self.tokenize_batch_size = tokenize_batch_size
         self.explode_batch_size = explode_batch_size
+        self.checkpoint = checkpoint
         os.makedirs(index_dir, exist_ok=True)
-        self.manifest = Manifest.load_or_create(index_dir, self.config.fingerprint())
+        self.manifest, self._needs_wipe = Manifest.load_or_create(
+            index_dir, self.config.fingerprint()
+        )
+        # in-memory fast path: stamped block refs from a fresh prepare run,
+        # consumed by the segments stage without re-reading the checkpoint
+        self._stamped_refs: list | None = None
 
-    # ---------- stage 1: tokenize checkpoint ----------
+    # ---------- stage 1: tokenize + sort + stamp (ids, doc table, stats) ----------
 
     def _tokenized_dir(self) -> str:
         return os.path.join(self.index_dir, "tokenized")
 
-    def _run_tokenize(self, pages) -> None:
-        if self.manifest.stage_complete("tokenized"):
-            return
-        import ray
+    def _doc_table_dir(self) -> str:
+        return os.path.join(self.index_dir, "doc_table")
 
+    def _tokenize_ds(self, pages):
         cols = set(pages.schema().names)
         if {"url", "text"} - cols:
             raise ValueError(f"pages dataset must have url+text, got {cols}")
@@ -138,121 +270,131 @@ class IndexBuilder:
                 batch_format="pyarrow",
                 batch_size=self.tokenize_batch_size,
             )
-        out = self._tokenized_dir()
-        # a crashed attempt leaves partial UUID-named files; write_parquet
-        # appends rather than replaces, so clear the stage dir first
-        shutil.rmtree(out, ignore_errors=True)
-        tok.write_parquet(out)
-        self.manifest.mark_complete("tokenized", path=out)
+        return tok
+
+    def _run_prepare(self, pages) -> CollectionStats:
+        if self.manifest.stage_complete("tokenized"):
+            return CollectionStats.load(self.index_dir)
+        import ray
+
+        tok = self._tokenize_ds(pages)
+        if self.config.id_mode == "hash":
+            from invertedindex_ray.functions.hashing import url_hash_ids
+
+            def add_hash_ids(batch: pa.Table) -> pa.Table:
+                ids = url_hash_ids(np.asarray(batch["url"].to_pylist(), dtype=object))
+                return batch.append_column(
+                    "doc_id", pa.array(ids, type=pa.int64())
+                )
+
+            tok = tok.map_batches(add_hash_ids, batch_format="pyarrow")
+            sort_key = "doc_id"
+        else:
+            sort_key = "url"
+
+        # clear stage dirs: a crashed attempt leaves partial part files
+        shutil.rmtree(self._tokenized_dir(), ignore_errors=True)
+        shutil.rmtree(self._doc_table_dir(), ignore_errors=True)
+        os.makedirs(self._doc_table_dir(), exist_ok=True)
+        if self.checkpoint:
+            os.makedirs(self._tokenized_dir(), exist_ok=True)
+
+        # the one global order: sample-partition sort on the id key; block
+        # row counts come from metadata (never the rows), prefix-summed on
+        # the driver — O(#blocks), the distributed zipWithIndex
+        mat = tok.sort(sort_key).materialize()
+        refs, counts = [], []
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows:
+                    refs.append(ref)
+                    counts.append(meta.num_rows)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+
+        stamp = ray.remote(num_returns=2)(_stamp_block)
+        stamped_refs, info_refs = [], []
+        for i, (r, off) in enumerate(zip(refs, offsets)):
+            block_ref, info_ref = stamp.remote(
+                r, int(off), i, self.index_dir, self.config.id_mode, self.checkpoint
+            )
+            stamped_refs.append(block_ref)
+            info_refs.append(info_ref)
+        infos = ray.get(info_refs)
+        del mat  # release the pre-stamp sorted blocks
+
+        # duplicate-identity guard (both id modes): within-block dups were
+        # counted by the stamp tasks; across blocks only the O(#blocks)
+        # boundary keys need comparing. Dense: equal urls. Hash: equal ids
+        # (a url dup or a 63-bit birthday collision — at 10^12 docs ~27k
+        # collisions are expected, so this must fail loudly, not merge).
+        dup_total = sum(i["dup"] for i in infos)
+        example = next((i["dup_example"] for i in infos if i["dup"]), None)
+        for a, b in zip(infos, infos[1:]):
+            if a["last_key"] is not None and a["last_key"] == b["first_key"]:
+                dup_total += 1
+                example = example or a["last_key"]
+        if dup_total:
+            what = "duplicate url" if self.config.id_mode == "dense" else (
+                "duplicate doc id (url dup or 63-bit hash collision)"
+            )
+            raise ValueError(
+                f"{dup_total} {what}(s) in corpus (e.g. {example!r}): doc "
+                "identities must be unique — deduplicate first "
+                "(pipelines.dedup.exact_dedup) or fix the id assignment"
+            )
+
+        num_docs = int(sum(i["num_rows"] for i in infos))
+        total = int(sum(i["sum_doc_len"] for i in infos))
+        if not infos:
+            # empty corpus: keep downstream readers alive with typed
+            # zero-row part files
+            atomic_write_table(
+                os.path.join(self._doc_table_dir(), "part-000000.parquet"),
+                _EMPTY_DOC_TABLE.empty_table(),
+            )
+            if self.checkpoint:
+                atomic_write_table(
+                    os.path.join(self._tokenized_dir(), "part-000000.parquet"),
+                    _EMPTY_TOKENIZED.empty_table(),
+                )
+        stats = CollectionStats(num_docs, total, total / num_docs if num_docs else 0.0)
+        stats.save(self.index_dir)
+        self._stamped_refs = stamped_refs
+        # one pass completes three of the old stages; all three markers are
+        # kept so resumes (and older tooling) see a consistent manifest
+        self.manifest.mark_complete(
+            "tokenized",
+            path=self._tokenized_dir() if self.checkpoint else None,
+            checkpointed=self.checkpoint,
+            num_blocks=len(infos),
+        )
+        self.manifest.mark_complete("stats", num_docs=num_docs, total_tokens=total)
+        self.manifest.mark_complete("doc_table", num_docs=num_docs)
+        return stats
 
     def _read_tokenized(self, columns=None):
         import ray.data as rd
 
         return rd.read_parquet(self._tokenized_dir(), columns=columns)
 
-    # ---------- stage 2: stats ----------
+    # ---------- stage 2: postings shuffle + segments + lexicon (fused) ----------
 
-    def _run_stats(self) -> CollectionStats:
-        if self.manifest.stage_complete("stats"):
-            return CollectionStats.load(self.index_dir)
-        from ray.data.aggregate import Count, Sum
+    def _lexicon_dir(self) -> str:
+        return os.path.join(self.index_dir, "lexicon")
 
-        slim = self._read_tokenized(columns=["doc_len"])
-        agg = slim.aggregate(Count(), Sum("doc_len"))
-        num_docs = int(agg["count()"])
-        total = int(agg["sum(doc_len)"] or 0)
-        # avgDocLen = (double) numTokens / numDocs (Indexer.java:129-131)
-        stats = CollectionStats(num_docs, total, total / num_docs if num_docs else 0.0)
-        stats.save(self.index_dir)
-        self.manifest.mark_complete("stats", num_docs=num_docs, total_tokens=total)
-        return stats
-
-    # ---------- stage 3: doc table + dense ids ----------
-
-    def _doc_table_dir(self) -> str:
-        return os.path.join(self.index_dir, "doc_table")
-
-    def _run_doc_table(self, stats: CollectionStats) -> None:
-        if self.manifest.stage_complete("doc_table"):
-            return
-        import ray
+    def _segment_stats_ds(self, stats: CollectionStats):
+        """Lazy pipeline: stamped tokenized docs -> compressed postings
+        shuffle -> per-bucket segment files; emits the slim per-(term, part)
+        stats rows that feed the lexicon."""
         import ray.data as rd
 
-        slim = self._read_tokenized(columns=["url", "doc_len"])
-        if self.config.id_mode == "hash":
-            from invertedindex_ray.functions.hashing import url_hash_ids
-
-            def add_hash_ids(batch: pa.Table) -> pa.Table:
-                urls = np.asarray(batch["url"].to_pylist(), dtype=object)
-                ids = url_hash_ids(urls)
-                return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
-
-            out = slim.map_batches(add_hash_ids, batch_format="pyarrow").sort("doc_id")
-            shutil.rmtree(self._doc_table_dir(), ignore_errors=True)
-            out.write_parquet(self._doc_table_dir())
+        if self._stamped_refs is not None:
+            tok = rd.from_arrow_refs(self._stamped_refs)
         else:
-            # dense ids = rank in sorted-url order, assigned via the
-            # zipWithIndex pattern: materialize the sorted slim table, prefix-
-            # sum per-block row counts (metadata only), then stamp ids inside
-            # each block by offset. Driver work is O(#blocks), not O(rows).
-            mat = slim.sort("url").materialize()
-            refs, counts = [], []
-            for bundle in mat.iter_internal_ref_bundles():
-                for ref, meta in zip(bundle.block_refs, bundle.metadata):
-                    refs.append(ref)
-                    counts.append(meta.num_rows)
-            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-
-            @ray.remote
-            def stamp(block: pa.Table, offset: int) -> pa.Table:
-                ids = np.arange(offset, offset + block.num_rows, dtype=np.int64)
-                return block.append_column("doc_id", pa.array(ids, type=pa.int64()))
-
-            stamped = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
-            shutil.rmtree(self._doc_table_dir(), ignore_errors=True)
-            rd.from_arrow_refs(stamped).write_parquet(self._doc_table_dir())
-        self.manifest.mark_complete("doc_table", num_docs=stats.num_docs)
-
-    def _load_sorted_urls(self) -> np.ndarray:
-        """doc-id-ordered urls as a fixed-width numpy bytes array: UTF-8
-        byte order matches Arrow's string sort order, so np.searchsorted
-        gives the rank; primitive ndarrays ship zero-copy through the
-        object store (an object-dtype array would pickle per worker)."""
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(self._doc_table_dir(), columns=["url", "doc_id"])
-        order = pc.sort_indices(t["doc_id"])
-        urls = t["url"].take(order).to_pylist()
-        arr = np.array([u.encode("utf-8") for u in urls], dtype=bytes)
-        # url is the document identity (input_hint: byte-identical text per
-        # url); duplicate urls would make rank lookup collapse two doc ids
-        # onto one and silently corrupt postings — fail loudly instead and
-        # point at the dedup pipeline
-        if len(arr) > 1 and (arr[1:] == arr[:-1]).any():
-            dup = arr[1:][arr[1:] == arr[:-1]][0]
-            raise ValueError(
-                f"duplicate url in corpus (e.g. {dup!r}): urls must be "
-                "unique for dense doc ids — deduplicate first "
-                "(pipelines.dedup.exact_dedup) or use id_mode='hash' "
-                "with pre-deduped input"
+            tok = self._read_tokenized(
+                columns=["doc_id", "doc_len", "terms", "tfs"]
             )
-        return arr
-
-    # ---------- stage 4: postings shuffle + segments ----------
-
-    def _run_segments(self, stats: CollectionStats) -> None:
-        if self.manifest.stage_complete("segments"):
-            return
-        import ray
-
-        tok = self._read_tokenized(columns=["url", "doc_len", "terms", "tfs"])
-        urls_ref = None
-        if self.config.id_mode == "dense":
-            urls_ref = ray.put(self._load_sorted_urls())
-        explode = PostingsPartial(
-            self.config, stats.num_docs, stats.avg_doc_len, urls_ref
-        )
+        explode = PostingsPartial(self.config, stats.num_docs, stats.avg_doc_len)
         postings = tok.map_batches(
             explode, batch_format="pyarrow", batch_size=self.explode_batch_size
         )
@@ -261,29 +403,20 @@ class IndexBuilder:
         def write_segment_group(group: pa.Table) -> pa.Table:
             return writer(group)
 
-        seg_stats = postings.groupby("bucket").map_groups(
+        return postings.groupby("bucket").map_groups(
             write_segment_group, batch_format="pyarrow"
         )
-        # consume: stats rows are tiny; count() drives the pipeline
-        n_entries = seg_stats.count()
-        self.manifest.mark_complete("segments", segment_entries=n_entries)
 
-    # ---------- stage 5: lexicon ----------
-
-    def _lexicon_dir(self) -> str:
-        return os.path.join(self.index_dir, "lexicon")
-
-    def _run_lexicon(self, stats: CollectionStats) -> None:
-        if self.manifest.stage_complete("lexicon"):
-            return
-        import ray.data as rd
+    def _finish_lexicon(self, seg_stats, stats: CollectionStats) -> None:
+        """seg_stats (Dataset of per-(term, part) rows) -> sorted lexicon.
+        The groupby here moves only the tiny stats rows, so fusing it onto
+        the segments pipeline adds no barrier beyond its own small shuffle."""
         from ray.data.aggregate import Max, Sum
 
-        seg_stats = rd.read_parquet(os.path.join(self.index_dir, "segstats"))
-        lex = (
-            seg_stats.groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"),
-                       Max("maxp", alias_name="maxp"))
+        lex = seg_stats.groupby("term").aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Max("maxp", alias_name="maxp"),
         )
         num_docs = stats.num_docs
 
@@ -315,6 +448,31 @@ class IndexBuilder:
         lex.map_batches(finish, batch_format="pyarrow").sort("term").write_parquet(
             self._lexicon_dir()
         )
+
+    def _run_segments_and_lexicon(self, stats: CollectionStats) -> None:
+        seg_done = self.manifest.stage_complete("segments")
+        lex_done = self.manifest.stage_complete("lexicon")
+        if seg_done and lex_done:
+            return
+        if seg_done:
+            # lexicon-only resume: re-derive from the persisted sidecars
+            import ray.data as rd
+
+            seg_stats = rd.read_parquet(os.path.join(self.index_dir, "segstats"))
+            self._finish_lexicon(seg_stats, stats)
+            self.manifest.mark_complete("lexicon")
+            return
+        seg_stats = self._segment_stats_ds(stats)
+        # ONE fused execution: the lexicon write drives the whole pipeline;
+        # per-bucket atomic files + sidecars give partition-level resume if
+        # it dies mid-run (SegmentWriter skips finished buckets on rerun)
+        self._finish_lexicon(seg_stats, stats)
+        import ray.data as rd
+
+        n_entries = rd.read_parquet(
+            os.path.join(self.index_dir, "segstats")
+        ).count() if os.path.isdir(os.path.join(self.index_dir, "segstats")) else 0
+        self.manifest.mark_complete("segments", segment_entries=n_entries)
         self.manifest.mark_complete("lexicon")
 
     # ---------- public API ----------
@@ -322,11 +480,27 @@ class IndexBuilder:
     def build(self, pages) -> CollectionStats:
         """Run (or resume) the full build; returns collection stats."""
         self.config.save(self.index_dir)  # make the index dir self-describing
-        self._run_tokenize(pages)
-        stats = self._run_stats()
-        self._run_doc_table(stats)
-        self._run_segments(stats)
-        self._run_lexicon(stats)
+        if self._needs_wipe:
+            # fingerprint mismatch: artifacts on disk were built under a
+            # DIFFERENT config. SegmentWriter skips existing bucket files and
+            # the lexicon sums every segstats sidecar, so stale files would
+            # silently survive into the new index — wipe them all before
+            # building. (Deferred to build() so merely CONSTRUCTING a
+            # builder never destroys an existing index.)
+            for d in ARTIFACT_DIRS:
+                shutil.rmtree(os.path.join(self.index_dir, d), ignore_errors=True)
+            self._needs_wipe = False
+        if (
+            self.manifest.stage_complete("tokenized")
+            and not self.manifest.stage_complete("segments")
+            and not os.path.isdir(self._tokenized_dir())
+        ):
+            # checkpoint=False run died before segments finished: the
+            # stamped corpus is gone, so prepare must re-run
+            self.manifest.clear_stage("tokenized")
+        stats = self._run_prepare(pages)
+        self._run_segments_and_lexicon(stats)
+        self._stamped_refs = None
         self.manifest.mark_complete("build")
         return stats
 

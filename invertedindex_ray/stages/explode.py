@@ -1,16 +1,14 @@
-"""Postings explode stage: tokenized docs -> (term, doc_id, tf, doc_len,
-part, bucket) posting rows.
+"""Postings explode stage: stamped tokenized docs (doc_id, doc_len, terms,
+tfs) -> (term, doc_id, tf, doc_len, part, bucket) posting rows.
 
-Doc-id resolution happens here:
-
-- ``dense`` mode: doc_id = rank of url among surviving docs in sorted-url
-  order. The sorted url array is broadcast once via ``ray.put`` and looked
-  up with ``np.searchsorted`` per batch — a broadcast join, not a shuffle
-  (SURVEY.md §2 J1/J2). Suitable while the slim doc table fits workers
-  (~10^8 docs); beyond that use:
-- ``hash`` mode: doc_id = 63-bit deterministic hash of url — zero
-  coordination, the 10^12-doc path. Posting-list order is then hash order
-  (still a deterministic total order, which is all the DAAT engine needs).
+Doc ids are assigned upstream by the prepare stage (build.py): ``dense``
+mode stamps the rank of url in sorted order distributively (per-block
+prefix sums — no driver-side URL array, no broadcast); ``hash`` mode
+stamps a 63-bit deterministic url hash (zero coordination, the 10^12-doc
+path; posting-list order is hash order — still a deterministic total
+order, which is all the DAAT engine needs). Either way the explode input
+arrives in ascending doc-id order, so per-batch runs are nearly sorted
+and d-gaps stay small (SURVEY.md §2 J1/J2).
 
 ``part`` is the contiguous doc-id range partition (document-partitioned
 index, SURVEY.md §4 skew row); ``bucket`` routes (term, part) into the
@@ -23,7 +21,6 @@ import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
-from invertedindex_ray.functions.hashing import term_bucket, url_hash_ids
 
 _ID_SPACE_HASH = 2**63
 
@@ -35,32 +32,10 @@ def part_divisor(config: IndexConfig, num_docs: int) -> int:
 
 
 class PostingsExplode:
-    def __init__(
-        self,
-        config: IndexConfig,
-        num_docs: int,
-        sorted_urls_ref=None,  # ray.ObjectRef of pa.StringArray, dense mode
-    ):
+    def __init__(self, config: IndexConfig, num_docs: int):
         self.config = config
         self.num_docs = num_docs
         self.divisor = part_divisor(config, num_docs)
-        self._urls_ref = sorted_urls_ref
-        self._sorted_urls = None
-
-    def _resolve_ids(self, url_col: pa.Array) -> np.ndarray:
-        if self.config.id_mode == "hash":
-            return url_hash_ids(np.asarray(url_col.to_pylist(), dtype=object))
-        if self._sorted_urls is None:
-            import ray
-
-            self._sorted_urls = ray.get(self._urls_ref)
-        # rank lookup: memcmp searchsorted over the broadcast fixed-width
-        # bytes array (UTF-8 byte order == Arrow string sort order)
-        width = self._sorted_urls.dtype.itemsize
-        batch_urls = np.array(
-            [u.encode("utf-8") for u in url_col.to_pylist()], dtype=f"S{width}"
-        )
-        return np.searchsorted(self._sorted_urls, batch_urls).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms_list = batch["terms"]
@@ -74,9 +49,7 @@ class PostingsExplode:
         offsets = terms_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = offsets[1:] - offsets[:-1]
 
-        url_col = batch["url"]
-        url_col = url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
-        doc_ids = self._resolve_ids(url_col)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc_len = batch["doc_len"].to_numpy(zero_copy_only=False)
 
         flat_terms = terms_list.values
@@ -126,8 +99,8 @@ class PostingsPartial(PostingsExplode):
     Doc-len-dependent scoring happens map-side; doc_len never shuffles.
     """
 
-    def __init__(self, config, num_docs: int, avg_doc_len: float, sorted_urls_ref=None):
-        super().__init__(config, num_docs, sorted_urls_ref)
+    def __init__(self, config, num_docs: int, avg_doc_len: float):
+        super().__init__(config, num_docs)
         self.avg_doc_len = avg_doc_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]

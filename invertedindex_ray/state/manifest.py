@@ -32,16 +32,26 @@ class Manifest:
         }
 
     @classmethod
-    def load_or_create(cls, index_dir: str, fingerprint: str) -> "Manifest":
+    def load_or_create(cls, index_dir: str, fingerprint: str) -> "tuple[Manifest, bool]":
+        """Returns (manifest, was_reset). ``was_reset`` is True when an
+        existing manifest had a DIFFERENT config fingerprint — the caller
+        must wipe the artifact dirs, because per-partition skip checks
+        (segment buckets, segstats sidecars) would otherwise silently reuse
+        files built under the old config."""
         m = cls(index_dir, fingerprint)
         if os.path.exists(m.path):
             with open(m.path) as f:
                 data = json.load(f)
             if data.get("fingerprint") == fingerprint:
                 m.data = data
-            # fingerprint mismatch: stale build under different config —
-            # start over (leave stale files; they are overwritten atomically)
-        return m
+            else:
+                return m, True
+        return m, False
+
+    def clear_stage(self, stage: str) -> None:
+        if stage in self.data["stages"]:
+            del self.data["stages"][stage]
+            self.save()
 
     def stage_complete(self, stage: str) -> bool:
         info = self.data["stages"].get(stage)
