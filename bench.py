@@ -77,8 +77,12 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         for _ in range(repeat):
             shutil.rmtree(idx_dir, ignore_errors=True)
             t0 = time.time()
+            # checkpoint=False: one-shot benchmark build, like the reference
+            # (no tokenized resume copy; doc table/segments/lexicon still
+            # written — the actual index artifacts)
             stats = build_index(
-                rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg
+                rd.read_parquet(corpus, columns=["url", "text"]), idx_dir, cfg,
+                checkpoint=False,
             )
             runs.append(time.time() - t0)
         # median: single runs swing +-30% on this box (VM demand paging);

@@ -7,11 +7,13 @@ BinaryIndexer.java:92-223 merge) as TWO streaming Dataset executions
 
   1. prepare:  read_parquet(pages)[url, text]
         -> map_batches(tokenize)                # tokenize+stem+TF (M1-M6)
-        -> sort(id key)                         # dense: url; hash: doc_id
+        -> materialize (ingestion order)        # object store, no sort
         -> per-block stamp tasks                # dense ids by prefix-sum
              |- doc_table/part-%06d.parquet     # doc_id, url, doc_len
              |- tokenized/part-%06d.parquet     # optional resume checkpoint
              |- per-block partial stats         # O(#blocks) driver state
+        (hash mode adds one slim (doc_id,url,doc_len) sort for the
+        positional doc-table layout + the duplicate-id guard)
   2. segments+lexicon (one fused pipeline, no barrier between them):
      tokenized -> map_batches(PostingsPartial)  # combine + VB-compress
         -> groupby(bucket)                      # THE one wide shuffle
@@ -20,18 +22,19 @@ BinaryIndexer.java:92-223 merge) as TWO streaming Dataset executions
 
 Scale properties (the 100-TB contract):
 
-- Dense doc ids are assigned DISTRIBUTIVELY: the sort's per-block row
-  counts (block metadata, never the rows) are prefix-summed on the driver
-  — O(#blocks) driver state, no all-URL array is ever materialized or
-  broadcast (Indexer.java:28,126 ordering contract preserved: id = rank
-  of url in sorted order).
-- The sorted blocks are stamped in place and flow straight into the
-  postings explode, so the corpus makes exactly two all-to-all trips:
-  the id sort and the compressed postings shuffle.
-- Duplicate doc identities fail loudly in BOTH id modes: the stamp pass
-  checks adjacent keys inside each sorted block and the driver checks the
-  O(#blocks) block boundaries (dense: equal urls; hash: equal 63-bit ids,
-  i.e. a url dup or a birthday collision).
+- Dense doc ids are assigned DISTRIBUTIVELY and WITHOUT a sort: the
+  materialized per-block row counts (block metadata, never the rows) are
+  prefix-summed on the driver — O(#blocks) driver state, no all-URL
+  array is ever materialized or broadcast, and ids follow ingestion
+  order exactly like the reference's docId++ (Indexer.java:28,126).
+- The stamped blocks flow straight into the postings explode, so the
+  corpus makes exactly ONE all-to-all trip: the compressed postings
+  shuffle. (Hash mode adds a slim ~30 B/doc doc-table sort.)
+- Duplicate doc ids fail loudly in hash mode (url dup or 63-bit birthday
+  collision would silently merge two documents' postings): adjacent
+  check inside each sorted slim block + O(#blocks) boundary check.
+  Dense mode needs no guard — positional ids make duplicate urls two
+  distinct documents, exactly as the reference would index them.
 - Memory-pressure spills, retries and backpressure come from Ray's
   streaming executor + object store (replacing the reference's heap
   watchdog, Indexer.java:142-163).
@@ -114,58 +117,49 @@ def _stamp_block(
     id_mode: str,
     write_tokenized: bool,
 ):
-    """Stamp one sorted block: assign dense ids (dense mode), validate
-    within-block key uniqueness, write the doc-table slice (and optionally
-    the tokenized checkpoint slice) with a zero-padded name so lexicographic
-    file order == doc-id order, and return (stamped block, partial stats).
+    """Stamp one tokenized block: assign dense ids from the block's
+    prefix-sum offset (dense mode; ids arrive pre-computed in hash mode),
+    write the doc-table slice (and optionally the tokenized checkpoint
+    slice) with a zero-padded name so lexicographic file order == dataset
+    order == doc-id order (dense), and return (stamped block, partial
+    stats). Runs as a Ray task (num_returns=2); driver work is O(#blocks).
 
-    Runs as a Ray task (num_returns=2); driver work stays O(#blocks)."""
+    Dense ids follow INGESTION order — docId++ per surviving doc, exactly
+    the reference's assignment (Indexer.java:28,126); empty/stopword-only
+    docs were dropped upstream and consume no id."""
     n = block.num_rows
     url = block["url"]
     url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+    cols = {"url": url}
+    for name in ("doc_len", "terms", "tfs"):
+        c = block[name]
+        cols[name] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
     if id_mode == "dense":
-        import pyarrow.compute as pc
-
-        ids = pa.array(np.arange(offset, offset + n, dtype=np.int64), type=pa.int64())
-        dup_mask = pc.equal(url.slice(1), url.slice(0, max(n - 1, 0)))
-        dup = int(pc.sum(dup_mask).as_py() or 0) if n > 1 else 0
-        dup_example = None
-        if dup:
-            i = int(np.flatnonzero(dup_mask.to_numpy(zero_copy_only=False))[0])
-            dup_example = url[i].as_py()
-        out = pa.table(
-            {
-                "doc_id": ids,
-                "url": url,
-                "doc_len": block["doc_len"].combine_chunks()
-                if isinstance(block["doc_len"], pa.ChunkedArray)
-                else block["doc_len"],
-                "terms": block["terms"].combine_chunks()
-                if isinstance(block["terms"], pa.ChunkedArray)
-                else block["terms"],
-                "tfs": block["tfs"].combine_chunks()
-                if isinstance(block["tfs"], pa.ChunkedArray)
-                else block["tfs"],
-            }
+        cols["doc_id"] = pa.array(
+            np.arange(offset, offset + n, dtype=np.int64), type=pa.int64()
         )
-        first_key = url[0].as_py() if n else None
-        last_key = url[n - 1].as_py() if n else None
     else:
-        ids_np = block["doc_id"].to_numpy(zero_copy_only=False)
-        dup = int((ids_np[1:] == ids_np[:-1]).sum()) if n > 1 else 0
-        dup_example = None
-        if dup:
-            i = int(np.flatnonzero(ids_np[1:] == ids_np[:-1])[0])
-            dup_example = url[i].as_py()
-        out = block.select(["doc_id", "url", "doc_len", "terms", "tfs"])
-        first_key = int(ids_np[0]) if n else None
-        last_key = int(ids_np[n - 1]) if n else None
-
-    atomic_write_table(
-        os.path.join(index_dir, "doc_table", f"part-{block_idx:06d}.parquet"),
-        out.select(["doc_id", "url", "doc_len"]),
+        cols["doc_id"] = (
+            block["doc_id"].combine_chunks()
+            if isinstance(block["doc_id"], pa.ChunkedArray)
+            else block["doc_id"]
+        )
+    out = pa.table(
+        {k: cols[k] for k in ("doc_id", "url", "doc_len", "terms", "tfs")}
     )
-    stamped = out.select(["doc_id", "doc_len", "terms", "tfs"])
+    if id_mode == "dense":
+        # dense mode: blocks are in dataset order, so the doc-table slice
+        # is already doc-id-ordered — write it here, no sort anywhere
+        atomic_write_table(
+            os.path.join(index_dir, "doc_table", f"part-{block_idx:06d}.parquet"),
+            out.select(["doc_id", "url", "doc_len"]),
+        )
+    if id_mode == "dense":
+        stamped = out.select(["doc_id", "doc_len", "terms", "tfs"])
+    else:
+        # hash mode keeps url: the doc table is derived afterwards from a
+        # slim sort over these blocks (ids are hash-ordered, not positional)
+        stamped = out
     if write_tokenized:
         atomic_write_table(
             os.path.join(index_dir, "tokenized", f"part-{block_idx:06d}.parquet"),
@@ -174,16 +168,35 @@ def _stamp_block(
     info = {
         "num_rows": n,
         "sum_doc_len": int(
-            np.sum(block["doc_len"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            np.sum(cols["doc_len"].to_numpy(zero_copy_only=False), dtype=np.int64)
         )
         if n
         else 0,
-        "first_key": first_key,
-        "last_key": last_key,
+    }
+    return stamped, info
+
+
+def _write_doc_table_block(block: pa.Table, block_idx: int, index_dir: str):
+    """Hash mode: write one doc-id-sorted slim doc-table block and return
+    the duplicate-id diagnostics (adjacent equal ids within the block +
+    boundary keys for the O(#blocks) driver-side cross-block check)."""
+    n = block.num_rows
+    ids_np = block["doc_id"].to_numpy(zero_copy_only=False)
+    dup = int((ids_np[1:] == ids_np[:-1]).sum()) if n > 1 else 0
+    dup_example = None
+    if dup:
+        i = int(np.flatnonzero(ids_np[1:] == ids_np[:-1])[0])
+        dup_example = block["url"][i].as_py()
+    atomic_write_table(
+        os.path.join(index_dir, "doc_table", f"part-{block_idx:06d}.parquet"),
+        block.select(["doc_id", "url", "doc_len"]),
+    )
+    return {
+        "first_key": int(ids_np[0]) if n else None,
+        "last_key": int(ids_np[n - 1]) if n else None,
         "dup": dup,
         "dup_example": dup_example,
     }
-    return stamped, info
 
 
 _EMPTY_TOKENIZED = pa.schema(
@@ -276,6 +289,7 @@ class IndexBuilder:
         if self.manifest.stage_complete("tokenized"):
             return CollectionStats.load(self.index_dir)
         import ray
+        from ray.data import DataContext
 
         tok = self._tokenize_ds(pages)
         if self.config.id_mode == "hash":
@@ -288,9 +302,6 @@ class IndexBuilder:
                 )
 
             tok = tok.map_batches(add_hash_ids, batch_format="pyarrow")
-            sort_key = "doc_id"
-        else:
-            sort_key = "url"
 
         # clear stage dirs: a crashed attempt leaves partial part files
         shutil.rmtree(self._tokenized_dir(), ignore_errors=True)
@@ -299,10 +310,20 @@ class IndexBuilder:
         if self.checkpoint:
             os.makedirs(self._tokenized_dir(), exist_ok=True)
 
-        # the one global order: sample-partition sort on the id key; block
-        # row counts come from metadata (never the rows), prefix-summed on
-        # the driver — O(#blocks), the distributed zipWithIndex
-        mat = tok.sort(sort_key).materialize()
+        # Materialize the tokenized corpus into the object store in LOGICAL
+        # (ingestion) order; block row counts come from metadata (never the
+        # rows), prefix-summed on the driver — O(#blocks), the distributed
+        # zipWithIndex. No sort: dense ids are ingestion-order ranks, the
+        # reference's own assignment (Indexer.java:28,126). preserve_order
+        # pins streaming output order to logical order so the ids are
+        # deterministic across runs and cluster sizes.
+        ctx = DataContext.get_current()
+        prev_preserve = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            mat = tok.materialize()
+        finally:
+            ctx.execution_options.preserve_order = prev_preserve
         refs, counts = [], []
         for bundle in mat.iter_internal_ref_bundles():
             for ref, meta in zip(bundle.block_refs, bundle.metadata):
@@ -320,28 +341,10 @@ class IndexBuilder:
             stamped_refs.append(block_ref)
             info_refs.append(info_ref)
         infos = ray.get(info_refs)
-        del mat  # release the pre-stamp sorted blocks
+        del mat  # release the pre-stamp blocks
 
-        # duplicate-identity guard (both id modes): within-block dups were
-        # counted by the stamp tasks; across blocks only the O(#blocks)
-        # boundary keys need comparing. Dense: equal urls. Hash: equal ids
-        # (a url dup or a 63-bit birthday collision — at 10^12 docs ~27k
-        # collisions are expected, so this must fail loudly, not merge).
-        dup_total = sum(i["dup"] for i in infos)
-        example = next((i["dup_example"] for i in infos if i["dup"]), None)
-        for a, b in zip(infos, infos[1:]):
-            if a["last_key"] is not None and a["last_key"] == b["first_key"]:
-                dup_total += 1
-                example = example or a["last_key"]
-        if dup_total:
-            what = "duplicate url" if self.config.id_mode == "dense" else (
-                "duplicate doc id (url dup or 63-bit hash collision)"
-            )
-            raise ValueError(
-                f"{dup_total} {what}(s) in corpus (e.g. {example!r}): doc "
-                "identities must be unique — deduplicate first "
-                "(pipelines.dedup.exact_dedup) or fix the id assignment"
-            )
+        if self.config.id_mode == "hash":
+            self._hash_mode_doc_table(stamped_refs)
 
         num_docs = int(sum(i["num_rows"] for i in infos))
         total = int(sum(i["sum_doc_len"] for i in infos))
@@ -371,6 +374,43 @@ class IndexBuilder:
         self.manifest.mark_complete("stats", num_docs=num_docs, total_tokens=total)
         self.manifest.mark_complete("doc_table", num_docs=num_docs)
         return stats
+
+    def _hash_mode_doc_table(self, stamped_refs: list) -> None:
+        """Hash mode: sort the SLIM (doc_id, url, doc_len) projection by
+        doc_id (the only sort in the build, over ~30 B/doc), write it as
+        zero-padded positional part files, and fail loudly on duplicate
+        doc ids — a url dup or a 63-bit birthday collision (at 10^12 docs
+        ~27k collisions are expected, so silent merging is not an option;
+        ADVICE r1). Driver state stays O(#blocks) (boundary keys)."""
+        import ray
+        import ray.data as rd
+
+        slim = rd.from_arrow_refs(stamped_refs).select_columns(
+            ["doc_id", "url", "doc_len"]
+        )
+        mat = slim.sort("doc_id").materialize()
+        refs = []
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows:
+                    refs.append(ref)
+        writer = ray.remote(_write_doc_table_block)
+        infos = ray.get(
+            [writer.remote(r, i, self.index_dir) for i, r in enumerate(refs)]
+        )
+        del mat
+        dup_total = sum(i["dup"] for i in infos)
+        example = next((i["dup_example"] for i in infos if i["dup"]), None)
+        for a, b in zip(infos, infos[1:]):
+            if a["last_key"] is not None and a["last_key"] == b["first_key"]:
+                dup_total += 1
+        if dup_total:
+            raise ValueError(
+                f"{dup_total} duplicate doc id(s) in corpus "
+                f"(url dup or 63-bit hash collision; e.g. url {example!r}): "
+                "doc identities must be unique — deduplicate first "
+                "(pipelines.dedup.exact_dedup) or use id_mode='dense'"
+            )
 
     def _read_tokenized(self, columns=None):
         import ray.data as rd

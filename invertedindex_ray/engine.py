@@ -213,7 +213,8 @@ class TopKQueue:
     def __init__(self, k: int):
         self.k = k
         self.neg_scores: list[float] = []  # sorted ascending == score descending
-        self.by_score: dict[float, str] = {}
+        # score -> member key (doc id in the engine; any hashable works)
+        self.by_score: dict[float, object] = {}
 
     def __len__(self) -> int:
         return len(self.neg_scores)
@@ -237,11 +238,14 @@ class TopKQueue:
 class QueryEngine:
     """Loads a built index and serves `[AND|OR] term1 ... termN` queries.
 
-    Lexicon and doc table are loaded into memory (the reference mmaps both,
-    QueryProcessor.java:44-56); segments are read per term with parquet
-    row-group pruning and cached per (term, part). At true web scale the
-    lexicon load would switch to sorted-parquet binary search and the doc
-    table to a positional fetch — both layouts already support it.
+    Query-side state mirrors the reference's never-load-it-all design
+    (DiskDataStructuresSearch.java:22-67): ``doc_len`` is resident (the
+    4 B/doc fixed-width array BM25 gathers from), while url strings and
+    the lexicon switch between fully-resident ("resident") and on-demand
+    row-group fetch with binary search ("ondisk") via ``doc_store`` /
+    ``lexicon_store`` ("auto" picks by size — see state/disktables.py).
+    Segments are read per term with parquet row-group pruning and cached
+    per (term, part).
     """
 
     def __init__(
@@ -252,6 +256,8 @@ class QueryEngine:
         traversal: str = "vectorized",
         scoring: str = "bm25",
         cursor: str = "decoded",
+        doc_store: str = "auto",
+        lexicon_store: str = "auto",
     ):
         """``traversal``:
 
@@ -304,25 +310,11 @@ class QueryEngine:
         self.cursor_mode = cursor
         self.stats = CollectionStats.load(index_dir)
 
-        lex = pq.read_table(os.path.join(index_dir, "lexicon"))
-        terms = lex["term"].to_pylist()
-        dfs = lex["df"].to_numpy(zero_copy_only=False)
-        cfs = lex["cf"].to_numpy(zero_copy_only=False)
-        tubs = lex["tub"].to_numpy(zero_copy_only=False)
-        self.lexicon: dict[str, tuple[int, int, float]] = {
-            t: (int(d), int(c), float(u)) for t, d, c, u in zip(terms, dfs, cfs, tubs)
-        }
+        from invertedindex_ray.state.disktables import DocTable, Lexicon
 
-        dt = pq.read_table(os.path.join(index_dir, "doc_table"))
-        order = np.argsort(dt["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-        self._doc_ids = dt["doc_id"].to_numpy(zero_copy_only=False)[order]
-        self._doc_len = dt["doc_len"].to_numpy(zero_copy_only=False)[order]
-        self._doc_no = np.asarray(dt["url"].to_pylist(), dtype=object)[order]
-        self._dense = bool(
-            len(self._doc_ids)
-            and self._doc_ids[0] == 0
-            and self._doc_ids[-1] == len(self._doc_ids) - 1
-        )
+        self._lexicon = Lexicon(os.path.join(index_dir, "lexicon"), lexicon_store)
+        self.docs = DocTable(os.path.join(index_dir, "doc_table"), doc_store)
+        self._dense = self.docs.dense
 
         self._n_parts = max(1, self.config.num_doc_partitions)
 
@@ -331,16 +323,23 @@ class QueryEngine:
         self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes, bytes]]]] = {}
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
-    # ---------- doc table ----------
+    # ---------- lexicon / doc table ----------
 
-    def _doc_index(self, doc_id: int) -> int:
-        if self._dense:
-            return doc_id
-        return int(np.searchsorted(self._doc_ids, doc_id))
+    @property
+    def lexicon(self) -> dict[str, tuple[int, int, float]]:
+        """Resident lexicon dict (tests/tools); ondisk engines use
+        :meth:`lexicon_row` instead."""
+        if self._lexicon.table is None:
+            raise AttributeError(
+                "lexicon is in ondisk mode; use lexicon_row(term)"
+            )
+        return self._lexicon.table
+
+    def lexicon_row(self, term: str) -> tuple[int, int, float] | None:
+        return self._lexicon.get(term)
 
     def doc_lookup(self, doc_id: int) -> tuple[str, int]:
-        i = self._doc_index(doc_id)
-        return str(self._doc_no[i]), int(self._doc_len[i])
+        return self.docs.lookup(doc_id)
 
     # ---------- postings ----------
 
@@ -384,9 +383,10 @@ class QueryEngine:
         """Decoded (doc_ids, tfs) for a term, parts chained in doc-id order."""
         if term in self._postings_cache:
             return self._postings_cache[term]
-        if term not in self.lexicon:
-            # out-of-vocabulary: no I/O (the reference's lexicon binary
-            # search fails first, QueryProcessor.java:176-183)
+        if self._lexicon.get(term) is None:
+            # out-of-vocabulary: no I/O beyond the lexicon probe (the
+            # reference's lexicon binary search fails first,
+            # QueryProcessor.java:176-183)
             self._postings_cache[term] = None
             return None
         rows = self._read_segment_rows(term)
@@ -411,7 +411,7 @@ class QueryEngine:
         if term in self._scored_cache:
             return self._scored_cache[term]
         p = self.get_postings(term)
-        row = self.lexicon.get(term)
+        row = self._lexicon.get(term)
         if p is None or row is None:
             self._scored_cache[term] = None
             return None
@@ -431,9 +431,9 @@ class QueryEngine:
             scores = idf * (1.0 + logtf[inv])
         else:
             if self._dense:
-                dls = self._doc_len[ids]
+                dls = self.docs.doc_len[ids]
             else:
-                dls = self._doc_len[np.searchsorted(self._doc_ids, ids)]
+                dls = self.docs.doc_len[np.searchsorted(self.docs.doc_ids, ids)]
             tfsf = tfs.astype(np.float64)
             scores = (
                 tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
@@ -499,7 +499,7 @@ class QueryEngine:
         cursors: list[PostingCursor] = []
         lex_rows: dict[str, tuple[int, int, float]] = {}
         for tok in token_set:
-            row = self.lexicon.get(tok)
+            row = self._lexicon.get(tok)
             if row is None:
                 if qtype == "and":
                     return []  # missing term: conjunctive returns nothing
@@ -538,7 +538,8 @@ class QueryEngine:
         else:
             queue = self._disjunctive(cursors, doc_upper, lex_rows, k)
 
-        results = queue.results()
+        # queue members are doc ids; resolve the <= k urls only now
+        results = [(self.doc_lookup(d)[0], s) for d, s in queue.results()]
         self._query_cache[cache_key] = list(results)
         self._query_cache.move_to_end(cache_key)
         while len(self._query_cache) > self.config.query_cache_size:
@@ -563,7 +564,7 @@ class QueryEngine:
                 if qtype == "and":
                     return []
                 continue
-            terms.append((self.lexicon[tok][2], tok, sp))
+            terms.append((self._lexicon.get(tok)[2], tok, sp))
         if not terms:
             return []
         terms.sort(key=lambda t: t[0])  # tub ascending == DAAT list order
@@ -572,7 +573,7 @@ class QueryEngine:
         scores = np.concatenate([sp[1] for _, _, sp in terms])
         if self._dense:
             # dense ids: direct O(n + N) accumulation, no sort
-            n_docs = len(self._doc_ids)
+            n_docs = self.docs.num_docs
             acc = np.bincount(ids, weights=scores, minlength=n_docs)
             cnt = np.bincount(ids, minlength=n_docs)
             if qtype == "and":
@@ -636,7 +637,9 @@ class QueryEngine:
                 break
             nxt = -1
             score = 0.0
-            doc_no, doc_len = self.doc_lookup(current)
+            # doc_len only — url strings are resolved AFTER traversal, for
+            # the <= k queue members (out-of-core doc table stays cold)
+            doc_len = self.docs.doc_len_at(self.docs.index_of(current))
 
             # essential lists
             for i in range(pivot, n):
@@ -663,7 +666,7 @@ class QueryEngine:
                     score += self._score(c.tf, doc_len, lex_rows[c.term][0])
 
             if len(queue) < k or score > queue.last_score():
-                queue.add(doc_no, score)
+                queue.add(current, score)
                 threshold = queue.last_score() if len(queue) == k else 0.0
                 while pivot < n and doc_upper[pivot] <= threshold:
                     pivot += 1
@@ -682,7 +685,7 @@ class QueryEngine:
 
         while pivot < n and not a_list_finished:
             score = 0.0
-            doc_no, doc_len = self.doc_lookup(current)
+            doc_len = self.docs.doc_len_at(self.docs.index_of(current))
 
             for i in range(pivot, n):
                 c = cursors[i]
@@ -711,7 +714,7 @@ class QueryEngine:
 
             if score != -1.0:
                 if len(queue) < k or score > queue.last_score():
-                    queue.add(doc_no, score)
+                    queue.add(current, score)
                     threshold = queue.last_score() if len(queue) == k else 0.0
                     while pivot < n and doc_upper[pivot] <= threshold:
                         pivot += 1
@@ -736,7 +739,7 @@ class BruteForceOracle:
         match_count: dict[int, int] = {}
         terms = []
         for tok in sorted(token_set):
-            row = e.lexicon.get(tok)
+            row = e._lexicon.get(tok)
             p = e.get_postings(tok) if row else None
             if row is None or p is None:
                 if qtype == "and":
@@ -746,7 +749,7 @@ class BruteForceOracle:
             ids, tfs = p
             df = row[0]
             for d, tf in zip(ids.tolist(), tfs.tolist()):
-                _, dl = e.doc_lookup(d)
+                dl = e.docs.doc_len_at(e.docs.index_of(d))
                 s = e._score(int(tf), dl, df)
                 per_doc[d] = per_doc.get(d, 0.0) + s
                 match_count[d] = match_count.get(d, 0) + 1

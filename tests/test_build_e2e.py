@@ -22,8 +22,9 @@ SEED = 13
 
 
 def _expected_index(texts, urls, cfg: IndexConfig):
-    """Pure-Python oracle: per-doc tokenize -> dense url-sorted ids ->
-    postings, doc table, stats."""
+    """Pure-Python oracle: per-doc tokenize -> dense INGESTION-ORDER ids
+    (docId++ per surviving doc, Indexer.java:28,126) -> postings, doc
+    table, stats."""
     docs = []
     for url, text in zip(urls, texts):
         if not text:
@@ -42,7 +43,7 @@ def _expected_index(texts, urls, cfg: IndexConfig):
         if doc_len == 0:
             continue
         docs.append((url, doc_len, counts))
-    docs.sort(key=lambda d: d[0])  # dense ids = sorted-url rank
+    # dense ids = ingestion order (no sort): docId++ per surviving doc
     postings: dict[str, list[tuple[int, int]]] = {}
     for doc_id, (url, doc_len, counts) in enumerate(docs):
         for term, tf in counts.items():
@@ -683,7 +684,10 @@ class TestScaleHygiene:
         # task args are far below 50 KB
         assert not sizes or max(sizes) < 50_000, sizes
 
-    def test_duplicate_url_raises_dense(self, tmp_path, ray_session):
+    def test_duplicate_url_indexes_both_dense(self, tmp_path, ray_session):
+        """Dense ids are positional (ingestion order), so a duplicate url
+        is simply two documents — exactly what the reference's docId++
+        would do (Indexer.java:28,126)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -692,9 +696,12 @@ class TestScaleHygiene:
         texts = ["hello world", "other words", "hello again"]
         pq.write_table(pa.table({"url": urls, "text": texts}),
                        str(tmp_path / "p.parquet"))
-        with pytest.raises(ValueError, match="duplicate url"):
-            build_index(rd.read_parquet(str(tmp_path / "p.parquet")),
-                        str(tmp_path / "idx"), IndexConfig(num_buckets=2))
+        stats = build_index(rd.read_parquet(str(tmp_path / "p.parquet")),
+                            str(tmp_path / "idx"), IndexConfig(num_buckets=2))
+        assert stats.num_docs == 3
+        e = QueryEngine(str(tmp_path / "idx"), IndexConfig(num_buckets=2))
+        ids, _tfs = e.get_postings("hello")
+        assert ids.tolist() == [0, 2]
 
     def test_duplicate_url_raises_hash_mode(self, tmp_path, ray_session):
         """ADVICE r1: the hash path must also fail loudly on duplicate doc
@@ -762,6 +769,62 @@ class TestScaleHygiene:
         assert e2.lexicon == e3.lexicon
         for q in QUERIES[:4]:
             assert e2.query(q, 10) == e3.query(q, 10), q
+
+
+class TestOutOfCoreEngine:
+    """VERDICT r1 #5: query-side lookups must work WITHOUT the full doc
+    table / lexicon resident (DiskDataStructuresSearch.java:22-67)."""
+
+    def test_ondisk_engine_matches_resident(self, built, ray_session):
+        _, cfg, idx_dir, _ = built
+        er = QueryEngine(idx_dir, cfg, doc_store="resident",
+                         lexicon_store="resident")
+        eo = QueryEngine(idx_dir, cfg, doc_store="ondisk",
+                         lexicon_store="ondisk")
+        # urls are NOT resident in ondisk mode
+        assert eo.docs._urls is None
+        assert eo._lexicon.table is None
+        for q in QUERIES:
+            assert er.query(q, 10) == eo.query(q, 10), q
+        # DAAT traversal too
+        ed = QueryEngine(idx_dir, cfg, traversal="daat", doc_store="ondisk",
+                         lexicon_store="ondisk")
+        for q in QUERIES[:6]:
+            assert _canonical(er.query(q, 10)) == _canonical(ed.query(q, 10)), q
+
+    def test_ondisk_lexicon_row_lookup(self, built, ray_session):
+        _, cfg, idx_dir, _ = built
+        er = QueryEngine(idx_dir, cfg)
+        eo = QueryEngine(idx_dir, cfg, lexicon_store="ondisk")
+        for t, row in list(er.lexicon.items())[:100]:
+            assert eo.lexicon_row(t) == row, t
+        assert eo.lexicon_row("zzz-not-a-term") is None
+
+    def test_ondisk_doc_lookup_matches(self, built, ray_session):
+        _, cfg, idx_dir, _ = built
+        er = QueryEngine(idx_dir, cfg, doc_store="resident")
+        eo = QueryEngine(idx_dir, cfg, doc_store="ondisk")
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        for d in rng.integers(0, er.docs.num_docs, size=50):
+            assert er.doc_lookup(int(d)) == eo.doc_lookup(int(d))
+
+    def test_ondisk_hash_mode(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        table = synth_pages_table(120, seed=77)
+        pq.write_table(table, str(tmp_path / "p.parquet"))
+        cfgh = IndexConfig(id_mode="hash", num_buckets=4)
+        idx = str(tmp_path / "idxh")
+        build_index(rd.read_parquet(str(tmp_path / "p.parquet"),
+                                    columns=["url", "text"]), idx, cfgh)
+        er = QueryEngine(idx, cfgh, doc_store="resident")
+        eo = QueryEngine(idx, cfgh, doc_store="ondisk")
+        for q in QUERIES[:6]:
+            assert er.query(q, 10) == eo.query(q, 10), q
 
 
 class TestHashIdMode:
