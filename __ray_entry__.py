@@ -50,10 +50,11 @@ def _built_engine(sf_dir: str, cfg: IndexConfig):
     return QueryEngine(idx, cfg)
 
 
-def _daat_results_table(sf_dir: str, qtype_filter: str | None = None):
+def _daat_results_table(sf_dir: str, qtype_filter: str | None = None,
+                        cfg: IndexConfig | None = None):
     import pyarrow as pa
 
-    cfg = IndexConfig()  # stemming+stopwords on: the reference default
+    cfg = cfg or IndexConfig()  # stemming+stopwords on: the reference default
     e = _built_engine(sf_dir, cfg)
     qids, urls, scores, ranks = [], [], [], []
     for qid, q in DRIVER_QUERY_SET:
@@ -75,20 +76,35 @@ def _daat_results_table(sf_dir: str, qtype_filter: str | None = None):
     )
 
 
-def _served_results_table(sf_dir: str):
+# the SQL-mirrorable engine config: stemming off (no SQL stemmer exists),
+# stopwords + truncation on — an official reference configuration
+# (application.properties booleans)
+_NOSTEM_CFG = IndexConfig(stemming=False)
+
+
+def _daat_nostem_table(sf_dir: str):
+    """The REAL MaxScore DAAT engine over a stemming=False index, in a
+    SQL-checkable shape: tie-collapse keeps the min-doc_id doc per
+    distinct score (ranked at 9 dp), which the oracle mirrors exactly."""
+    return _daat_results_table(sf_dir, cfg=_NOSTEM_CFG)
+
+
+def _served_results_table(sf_dir: str, cfg: IndexConfig | None = None):
     """DAAT through the map_batches actor pool (pipelines/serving.py) —
-    one engine per actor, queries streamed as a Dataset."""
+    one engine per actor, queries streamed as a Dataset. With the nostem
+    config this is SQL-checkable against the same oracle as the
+    single-engine DAAT entry (the serving layer must be a no-op on
+    results)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from invertedindex_ray.pipelines.serving import serve_queries
 
-    cfg = IndexConfig()
+    cfg = cfg or IndexConfig()
     _built_engine(sf_dir, cfg)  # ensure the index exists on disk
     idx = _index_dir_for(sf_dir, cfg)
-    bare = [(qid, q.split(" ", 1)[1]) for qid, q in DRIVER_QUERY_SET
-            if q.upper().startswith("OR ")]
-    ds = serve_queries(idx, bare, config=cfg, k=_K, concurrency=2)
+    ds = serve_queries(idx, list(DRIVER_QUERY_SET), config=cfg, k=_K,
+                       concurrency=2, qtype="raw")
     t = pa.Table.from_pylist(ds.take_all())
     if t.num_rows == 0:
         return pa.table({"qid": pa.array([], pa.string()),
@@ -134,16 +150,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
-        # --- full engine: stemmed index + MaxScore DAAT (rows-only) ---
+        # --- full engine: stemmed index + MaxScore DAAT (rows-only; no
+        #     SQL stemmer exists) ---
         "topk_daat": lambda sf: _daat_results_table(sf).to_pandas(),
-        # --- actor-pool batch serving: same engine behind map_batches ---
-        "topk_daat_distributed": lambda sf: _served_results_table(sf),
+        # --- full engine, stemming=False: the REAL MaxScore DAAT engine,
+        #     SQL-checked (VERDICT r1 #3) ---
+        "topk_daat_nostem": lambda sf: _daat_nostem_table(sf),
+        # --- actor-pool batch serving: same engine behind map_batches,
+        #     over the nostem index so the serving path is SQL-checked ---
+        "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "simhash_fingerprints": lambda sf: dedup.simhash_fingerprints(sf),
         "dedup_simhash": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
-        "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(sf, tau=0.4),
+        "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(
+            sf, tau=0.4, method="allpairs"
+        ),
+        "dedup_embedding_lsh": lambda sf: similarity.embedding_neardup_pairs(
+            sf, tau=0.4, method="lsh"
+        ),
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.ann_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
@@ -195,7 +222,9 @@ def _base(extra: str = "") -> str:
     return "WITH " + _BASE_CTE.format(stoplist=_stoplist_sql()) + extra
 
 
-def _topk_batch_sql() -> str:
+def _retrieval_ctes() -> str:
+    """Shared CTE block for the retrieval oracles: per-(qid, doc) BM25
+    sums over the driver query set (stemming=False config)."""
     from invertedindex_ray.pipelines.batch_query import parse_queries
     from invertedindex_ray.pipelines.analytics import NOSTEM
 
@@ -207,8 +236,7 @@ def _topk_batch_sql() -> str:
             qterm_rows.append(f"('{qid}', '{t}')")
     qterms = ", ".join(qterm_rows) if qterm_rows else "('__none__', '__none__')"
     qmeta = ", ".join(qmeta_rows)
-    return _base(
-        f""",
+    return f""",
 cstats AS (
   SELECT count(*)::DOUBLE AS num_docs, sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
   FROM docstats
@@ -241,15 +269,23 @@ qs AS (
   FROM qterms q JOIN persc p ON p.term = q.term
   GROUP BY q.qid, p.doc_id
 ),
-ranked AS (
-  SELECT s.qid, s.doc_id, round(s.score, 9) AS score_r,
-         row_number() OVER (
-           PARTITION BY s.qid ORDER BY round(s.score, 9) DESC, s.doc_id
-         ) AS rank
+eligible AS (
+  SELECT s.qid, s.doc_id, round(s.score, 9) AS score_r
   FROM qs s
   JOIN qmeta m ON m.qid = s.qid
   WHERE (m.qtype = 'or' OR s.n_hit = m.n_req)
     AND s.qid NOT IN (SELECT qid FROM dead)
+)"""
+
+
+def _topk_batch_sql() -> str:
+    return _base(
+        _retrieval_ctes()
+        + f""",
+ranked AS (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
+  FROM eligible
 )
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
@@ -257,8 +293,186 @@ FROM ranked WHERE rank <= {_K}
     )
 
 
+def _topk_daat_nostem_sql() -> str:
+    """Mirror of the MaxScore DAAT engine's output: the TreeSet
+    tie-collapse keeps ONE doc per distinct score — the first in
+    traversal order, i.e. the minimum doc id (ingestion-order dense ids
+    == documents.doc_id order) — and ranks distinct scores descending."""
+    return _base(
+        _retrieval_ctes()
+        + f""",
+collapsed AS (
+  SELECT qid, score_r, min(doc_id) AS doc_id
+  FROM eligible GROUP BY qid, score_r
+),
+ranked AS (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid ORDER BY score_r DESC) AS rank
+  FROM collapsed
+)
+SELECT r.qid,
+       'https://example.org/' || d.source || '/' || lpad(d.doc_id::VARCHAR, 10, '0') AS url,
+       r.score_r, r.rank::BIGINT AS rank
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rank <= {_K}
+"""
+    )
+
+
+def _lang_id_sql() -> str:
+    from invertedindex_ray.pipelines.textstats import _LANG_MARKERS
+
+    marker_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in ("en", "de", "fr", "es")
+        for w in sorted(_LANG_MARKERS[lang])
+    )
+    prio = ("CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 "
+            "WHEN 'fr' THEN 2 WHEN 'es' THEN 3 END")
+    return f"""
+WITH m(lang, w) AS (VALUES {marker_rows}),
+base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+cjk AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+         length(text) AS n
+  FROM base
+),
+tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM base
+),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS h
+  FROM tk t JOIN m ON m.w = t.w
+  GROUP BY t.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, {prio}) AS rn
+  FROM hits WHERE h > 0
+)
+SELECT b.doc_id,
+       CASE WHEN c.n_cjk >= greatest(1, c.n // 20) THEN 'zh'
+            ELSE coalesce(w.lang, 'unknown') END AS pred_lang
+FROM base b
+JOIN cjk c USING (doc_id)
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) w USING (doc_id)
+"""
+
+
+_WINNOW_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS gram,
+         len(a) - 4 AS m
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - 4)) AS i) s
+  WHERE len(a) >= 5
+),
+h AS (
+  SELECT doc_id, i, m, (md5_number_lower(gram) >> 1)::BIGINT AS h FROM g
+),
+w AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM h
+)
+SELECT DISTINCT doc_id, mn AS fp FROM w WHERE i <= greatest(m - 3, 1)
+"""
+
+_SIMHASH_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tk GROUP BY doc_id, w),
+wh AS (SELECT doc_id, (md5_number_lower(w) >> 1)::BIGINT AS h, c FROM wc),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) g
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+_IVF_SQL = """
+WITH firsts AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+cents AS (
+  SELECT embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS ci
+  FROM firsts
+),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 5
+),
+acos AS (
+  SELECT e.vec_id, c.ci,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.v), 6) AS cc
+  FROM embeddings e CROSS JOIN cents c
+),
+a1 AS (
+  SELECT vec_id, ci FROM (
+    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, ci) AS rn
+    FROM acos
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT q.qid, c.ci,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS cc
+  FROM q CROSS JOIN cents c
+),
+p1 AS (
+  SELECT qid, ci FROM (
+    SELECT qid, ci, row_number() OVER (PARTITION BY qid ORDER BY cc DESC, ci) AS rn
+    FROM qc
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_r
+  FROM q
+  JOIN p1 ON p1.qid = q.qid
+  JOIN a1 ON a1.ci = p1.ci
+  JOIN embeddings e ON e.vec_id = a1.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_r, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "topk_daat_nostem": _topk_daat_nostem_sql(),
+        "topk_daat_distributed": _topk_daat_nostem_sql(),
+        "winnow_fingerprints": _WINNOW_SQL,
+        "simhash_fingerprints": _SIMHASH_SQL,
+        # pairs with hamming <= 3: banding on 4x16-bit chunks is exact for
+        # this radius (pigeonhole), so the mirror is a plain hamming join
+        "dedup_simhash": f"""
+WITH fpq AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "lang_id": _lang_id_sql(),
+        "ann_ivf_topk": _IVF_SQL,
         "doc_stats": _base("SELECT doc_id, doc_len FROM docstats"),
         "collection_stats": _base(
             """SELECT count(*)::BIGINT AS num_docs,

@@ -220,7 +220,7 @@ class IndexBuilder:
         *,
         tokenize_concurrency: int | None = None,
         tokenize_batch_size: int = 1024,
-        explode_batch_size: int = 2048,
+        explode_batch_size: int | None = None,  # None = whole block (max combine ratio)
         checkpoint: bool = True,
     ):
         self.index_dir = index_dir
@@ -425,7 +425,13 @@ class IndexBuilder:
     def _segment_stats_ds(self, stats: CollectionStats):
         """Lazy pipeline: stamped tokenized docs -> compressed postings
         shuffle -> per-bucket segment files; emits the slim per-(term, part)
-        stats rows that feed the lexicon."""
+        stats rows that feed the lexicon.
+
+        The shuffle is a range sort on the precomputed int32 bucket id —
+        sampling an int32 key column is cheap, and equal keys never split
+        across partitions (boundaries are key values), so each output
+        block holds whole buckets. The writer task slices its block at
+        bucket boundaries and encodes each bucket independently."""
         import ray.data as rd
 
         if self._stamped_refs is not None:
@@ -438,13 +444,25 @@ class IndexBuilder:
         postings = tok.map_batches(
             explode, batch_format="pyarrow", batch_size=self.explode_batch_size
         )
+        shuffled = postings.sort("bucket")
         writer = SegmentWriter(self.index_dir, self.config, stats.avg_doc_len)
+        from invertedindex_ray.stages.segment import STATS_SCHEMA
 
-        def write_segment_group(group: pa.Table) -> pa.Table:
-            return writer(group)
+        def write_segment_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return STATS_SCHEMA.empty_table()
+            buckets = block["bucket"].to_numpy(zero_copy_only=False)
+            change = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(buckets)]))
+            outs = [
+                writer(block.slice(int(s), int(e - s)))
+                for s, e in zip(starts, ends)
+            ]
+            return pa.concat_tables(outs) if outs else STATS_SCHEMA.empty_table()
 
-        return postings.groupby("bucket").map_groups(
-            write_segment_group, batch_format="pyarrow"
+        return shuffled.map_batches(
+            write_segment_block, batch_format="pyarrow", batch_size=None
         )
 
     def _finish_lexicon(self, seg_stats, stats: CollectionStats) -> None:
@@ -492,8 +510,6 @@ class IndexBuilder:
     def _run_segments_and_lexicon(self, stats: CollectionStats) -> None:
         seg_done = self.manifest.stage_complete("segments")
         lex_done = self.manifest.stage_complete("lexicon")
-        if seg_done and lex_done:
-            return
         if seg_done:
             # lexicon-only resume: re-derive from the persisted sidecars
             import ray.data as rd

@@ -36,3 +36,37 @@ def term_bucket_one(term: str, part: int, num_buckets: int) -> int:
 def url_hash_ids(urls) -> np.ndarray:
     """63-bit coordination-free doc ids (id_mode='hash')."""
     return (hash_strings(urls) >> np.uint64(1)).astype(np.int64)
+
+
+def md5_hash63(strings) -> np.ndarray:
+    """63-bit md5-based string hash with an exact DuckDB mirror:
+    ``(md5_number_lower(s) >> 1)::BIGINT`` — md5_number_lower is the
+    little-endian integer of md5 bytes 8..16. Used by the fingerprinting
+    pipelines (simhash, winnowing) so the driver's SQL oracle can
+    reproduce the hashes bit-for-bit."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+            >> 1
+            for s in strings
+        ),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR); input uint64, output int64."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & _M1
+    v = (v & _M2) + ((v >> np.uint64(2)) & _M2)
+    v = (v + (v >> np.uint64(4))) & _M4
+    return ((v * _H01) >> np.uint64(56)).astype(np.int64)

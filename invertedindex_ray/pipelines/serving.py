@@ -47,7 +47,10 @@ class QueryEngineActor:
         texts = batch["query"].to_pylist()
         qids, urls, ranks, scores = [], [], [], []
         for qid, q in zip(qids_in, texts):
-            res = self.engine.query(f"{self.qtype} {q}", self.k)
+            # qtype="raw": the query text already carries its [AND|OR]
+            # operator (driver query sets); otherwise prepend the fixed one
+            full = q if self.qtype == "raw" else f"{self.qtype} {q}"
+            res = self.engine.query(full, self.k)
             for rank, (url, score) in enumerate(res, 1):
                 qids.append(qid)
                 urls.append(url)
