@@ -1,0 +1,173 @@
+"""Command-line entry point: ``python -m invertedindex_ray {index,query,trec}``.
+
+Mirrors the reference's UX (/root/reference/src/main/java/it/unipi/
+Main.java:16-36: ``java -jar … index [textual|binary] | query``, with the
+interactive query REPL from QueryProcessor.commandLine,
+QueryProcessor.java:63-82), on top of IndexBuilder / QueryEngine.
+
+  index  — build a binary index from a pages parquet (url, text[, html]);
+           ``--textual`` additionally dumps the ASCII debug index (S3).
+  query  — one-shot ``[AND|OR] terms…`` queries, or an interactive REPL
+           when no query argument is given (exit with 'exit' / EOF).
+  trec   — batch-evaluate a query TSV into a TREC run file (S5/S6).
+
+Owns its Ray session (guarded init — the only module-level entry point
+besides bench.py allowed to)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _config_from_args(args) -> "IndexConfig":
+    from invertedindex_ray.config import IndexConfig
+
+    kw = {}
+    if getattr(args, "no_stemming", False):
+        kw["stemming"] = False
+    if getattr(args, "no_stopwords", False):
+        kw["stopwords"] = False
+    if getattr(args, "num_buckets", None):
+        kw["num_buckets"] = args.num_buckets
+    if getattr(args, "num_partitions", None):
+        kw["num_doc_partitions"] = args.num_partitions
+    if getattr(args, "id_mode", None):
+        kw["id_mode"] = args.id_mode
+    return IndexConfig(**kw)
+
+
+def cmd_index(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from invertedindex_ray.build import build_index
+
+    cfg = _config_from_args(args)
+    pages = rd.read_parquet(args.pages)
+    stats = build_index(pages, args.index_dir, cfg,
+                        checkpoint=not args.no_checkpoint)
+    print(f"indexed {stats.num_docs} docs, {stats.total_tokens} tokens, "
+          f"avg_doc_len {stats.avg_doc_len:.2f} -> {args.index_dir}")
+    if args.textual:
+        from invertedindex_ray.sources.textual_sink import dump_textual_index
+
+        out = args.index_dir.rstrip("/") + "-textual"
+        dump_textual_index(args.index_dir, out)
+        print(f"textual debug index -> {out}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray_init(args.num_cpus)
+    from invertedindex_ray.engine import IllegalQueryTypeError, QueryEngine
+
+    e = QueryEngine(args.index_dir, None, scoring=args.scoring)
+
+    def run_one(q: str) -> None:
+        import time
+
+        t0 = time.time()
+        try:
+            res = e.query(q, args.k)
+        except IllegalQueryTypeError as exc:
+            print(f"error: {exc}")
+            return
+        dt = (time.time() - t0) * 1000
+        for rank, (doc_no, score) in enumerate(res, 1):
+            print(f"{rank:3d}  {score:12.6f}  {doc_no}")
+        print(f"({len(res)} results in {dt:.1f} ms)")
+
+    if args.query:
+        run_one(" ".join(args.query))
+        return 0
+    # interactive REPL (QueryProcessor.commandLine): one query per line,
+    # 'exit' or EOF ends the session
+    print("query> enter '[AND|OR] term1 ... termN' ('exit' to quit)")
+    for line in sys.stdin:
+        q = line.strip()
+        if not q:
+            continue
+        if q.lower() in ("exit", "quit"):
+            break
+        run_one(q)
+    return 0
+
+
+def cmd_trec(args) -> int:
+    _ray_init(args.num_cpus)
+    from invertedindex_ray.engine import QueryEngine
+    from invertedindex_ray.pipelines.trec import (
+        read_query_tsv,
+        trec_run_table,
+        write_trec_run,
+    )
+
+    e = QueryEngine(args.index_dir, None)
+    qs = read_query_tsv(args.queries)
+    t = trec_run_table(e, qs, k=args.k, qtype=args.qtype)
+    write_trec_run(t, args.out)
+    print(f"{t.num_rows} run lines for {len(qs)} queries -> {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m invertedindex_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an inverted index")
+    pi.add_argument("--pages", required=True,
+                    help="parquet file/dir with url+text[,html] columns")
+    pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--no-stemming", action="store_true")
+    pi.add_argument("--no-stopwords", action="store_true")
+    pi.add_argument("--num-buckets", type=int)
+    pi.add_argument("--num-partitions", type=int)
+    pi.add_argument("--id-mode", choices=["dense", "hash"])
+    pi.add_argument("--no-checkpoint", action="store_true",
+                    help="skip the tokenized resume checkpoint")
+    pi.add_argument("--textual", action="store_true",
+                    help="also dump the ASCII debug index")
+    pi.set_defaults(fn=cmd_index)
+
+    pq = sub.add_parser("query", help="query an index (REPL if no query)")
+    pq.add_argument("--index-dir", required=True)
+    pq.add_argument("-k", type=int, default=10)
+    pq.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
+    pq.add_argument("query", nargs="*", help="[AND|OR] term1 ... termN")
+    pq.set_defaults(fn=cmd_query)
+
+    pt = sub.add_parser("trec", help="batch-evaluate a query TSV to a TREC run")
+    pt.add_argument("--index-dir", required=True)
+    pt.add_argument("--queries", required=True, help="qid\\tquery TSV")
+    pt.add_argument("--out", required=True)
+    pt.add_argument("-k", type=int, default=100)
+    pt.add_argument("--qtype", default="OR", choices=["OR", "AND"])
+    pt.set_defaults(fn=cmd_trec)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

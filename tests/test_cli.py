@@ -1,0 +1,63 @@
+"""CLI smoke tests: ``python -m invertedindex_ray {index,query,trec}``
+(Main.java:16-36 parity). Run in a subprocess with its own small Ray
+session, so they don't touch the shared test fixture."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from invertedindex_ray.sources.pages import synth_pages_table
+
+    d = tmp_path_factory.mktemp("cli")
+    pages = str(d / "pages.parquet")
+    pq.write_table(synth_pages_table(80, seed=21), pages)
+    env = dict(os.environ, RAY_GRAFT_CPUS="2")
+    return d, pages, env
+
+
+def _run(args, env, input_text=None):
+    return subprocess.run(
+        [sys.executable, "-m", "invertedindex_ray", "--num-cpus", "2", *args],
+        capture_output=True, text=True, timeout=300, input=input_text,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+
+
+def test_cli_index_query_trec_roundtrip(cli_env):
+    d, pages, env = cli_env
+    idx = str(d / "idx")
+    r = _run(["index", "--pages", pages, "--index-dir", idx,
+              "--num-buckets", "4", "--no-checkpoint"], env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "indexed" in r.stdout
+    assert os.path.exists(os.path.join(idx, "stats.json"))
+
+    r = _run(["query", "--index-dir", idx, "-k", "5", "OR", "data", "index"], env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "results in" in r.stdout
+
+    # REPL: one query then exit
+    r = _run(["query", "--index-dir", idx], env,
+             input_text="OR data search\nbadquery no operator\nexit\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "error:" in r.stdout  # the malformed line reports, REPL survives
+
+    tsv = str(d / "q.tsv")
+    with open(tsv, "w") as f:
+        f.write("1\tdata index\n2\tposting lexicon\n")
+    out = str(d / "run.txt")
+    r = _run(["trec", "--index-dir", idx, "--queries", tsv, "--out", out,
+              "-k", "5"], env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = open(out).read().splitlines()
+    assert lines and all(len(ln.split(" ")) == 6 for ln in lines)
