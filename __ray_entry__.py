@@ -456,9 +456,69 @@ SELECT qid, vec_id, cos_r, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """
 
 
+def _minhash_sql() -> str:
+    """Exact mirror of pipelines.dedup.minhash_lsh_pairs: md5 shingle
+    hashes, the same seeded universal-hash coefficients (embedded as a
+    VALUES list), min over shingles per permutation via HUGEINT modular
+    arithmetic (P = 2^61-1; products < 2^122 fit), banding by 4-slot
+    equality, slot-agreement estimate >= 0.5."""
+    from invertedindex_ray.pipelines.dedup import minhash_perms
+
+    A, B = minhash_perms(64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(A, B))
+    )
+    P = (1 << 61) - 1
+    return f"""
+WITH perms(pi, a, b) AS (VALUES {perm_rows}),
+tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id,
+         ((md5_number_lower(gram) >> 1)::HUGEINT % {P}) AS x
+  FROM sh
+),
+sig AS (
+  SELECT h.doc_id, p.pi,
+         min((p.a::HUGEINT * h.x + p.b) % {P})::BIGINT AS v
+  FROM hs h CROSS JOIN perms p
+  GROUP BY h.doc_id, p.pi
+),
+bandkey AS (
+  SELECT doc_id, pi // 4 AS band,
+         string_agg(v::VARCHAR, '|' ORDER BY pi) AS key
+  FROM sig GROUP BY doc_id, pi // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkey a
+  JOIN bandkey b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS j
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.pi = sa.pi
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS est_jaccard_r
+FROM est WHERE j >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "topk_daat_nostem": _topk_daat_nostem_sql(),
+        "dedup_minhash_lsh": _minhash_sql(),
         "topk_daat_distributed": _topk_daat_nostem_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,

@@ -94,8 +94,13 @@ def exact_dedup(sf_dir: str):
 
 # ------------------------------------------------------------- shingling
 
-def _shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of the distinct word k-gram shingles."""
+def _shingle_hashes(
+    texts: list[str], k: int, hasher: str = "siphash"
+) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of the distinct word k-gram shingles.
+    ``hasher="md5"`` uses md5_hash63 — bit-identical to DuckDB's
+    ``(md5_number_lower(gram) >> 1)::BIGINT`` so MinHash signatures can
+    be mirrored in SQL."""
     out = []
     import re
 
@@ -106,8 +111,20 @@ def _shingle_hashes(texts: list[str], k: int) -> list[np.ndarray]:
             out.append(np.empty(0, dtype=np.uint64))
             continue
         sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        out.append(np.unique(hash_strings(np.asarray(sh, dtype=object))))
+        if hasher == "md5":
+            out.append(np.unique(md5_hash63(sh).astype(np.uint64)))
+        else:
+            out.append(np.unique(hash_strings(np.asarray(sh, dtype=object))))
     return out
+
+
+def minhash_perms(num_perm: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """The fixed seeded universal-hash coefficients (a, b) per
+    permutation — exposed so the SQL oracle can embed the same values."""
+    rng = np.random.default_rng(0xC0FFEE)
+    A = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    B = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return A, B
 
 
 # ------------------------------------------------------------- minhash lsh
@@ -164,15 +181,14 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_perm // bands
     assert num_perm % bands == 0
-    rng = np.random.default_rng(0xC0FFEE)
     P = np.uint64((1 << 61) - 1)
-    A = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    B = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    A, B = minhash_perms(num_perm)
 
     def signatures(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        shingles = _shingle_hashes(texts, shingle_k)
+        # md5 shingle hashes: SQL-mirrorable (see oracle_sql)
+        shingles = _shingle_hashes(texts, shingle_k, hasher="md5")
         doc_ids, sigs = [], []
         for d, sh in zip(ids, shingles):
             if len(sh) == 0:
@@ -241,7 +257,9 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
+        # generous cap: guards pathological boilerplate buckets only (the
+        # SQL oracle has no cap, so it must not trigger at check scale)
+        if len(ids) < 2 or len(ids) > 2000:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64)}
