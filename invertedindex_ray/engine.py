@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from invertedindex_ray.build import CollectionStats
 from invertedindex_ray.config import IndexConfig
 from invertedindex_ray.functions import codec
-from invertedindex_ray.functions.hashing import term_bucket_one
+from invertedindex_ray.functions.hashing import term_buckets_all_parts
 from invertedindex_ray.functions.scoring import bm25
 from invertedindex_ray.functions.textproc import tokenize, preprocess_token
 from invertedindex_ray.stages.segment import segment_path
@@ -371,10 +371,12 @@ class QueryEngine:
 
     def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes, bytes]]:
         rows = []
-        for part in range(self._n_parts):
-            b = term_bucket_one(term, part, self.config.num_buckets)
+        buckets = term_buckets_all_parts(
+            term, self._n_parts, self.config.num_buckets
+        )
+        for part, b in enumerate(buckets):
             rows.extend(
-                r for r in self._bucket_rows(b).get(term, ()) if r[0] == part
+                r for r in self._bucket_rows(int(b)).get(term, ()) if r[0] == part
             )
         rows.sort(key=lambda r: r[0])
         return rows

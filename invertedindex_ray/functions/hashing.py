@@ -33,6 +33,14 @@ def term_bucket_one(term: str, part: int, num_buckets: int) -> int:
     return int(term_bucket(np.array([term], dtype=object), np.array([part]), num_buckets)[0])
 
 
+def term_buckets_all_parts(term: str, n_parts: int, num_buckets: int) -> np.ndarray:
+    """Bucket of (term, part) for every part with ONE string hash — the
+    query-side hot path hashes each term once, not once per partition."""
+    h = hash_strings(np.array([term], dtype=object))[0]
+    parts = np.arange(n_parts, dtype=np.uint64)
+    return ((h ^ (parts * _GOLDEN)) % np.uint64(num_buckets)).astype(np.int32)
+
+
 def url_hash_ids(urls) -> np.ndarray:
     """63-bit coordination-free doc ids (id_mode='hash')."""
     return (hash_strings(urls) >> np.uint64(1)).astype(np.int64)

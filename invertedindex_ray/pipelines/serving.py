@@ -35,10 +35,14 @@ class QueryEngineActor:
         config: IndexConfig | None = None,
         k: int = 100,
         qtype: str = "OR",
+        engine_kwargs: dict | None = None,
     ):
         from invertedindex_ray.engine import QueryEngine
 
-        self.engine = QueryEngine(index_dir, config)
+        # engine_kwargs passes store modes through: at web scale serving
+        # actors run doc_store="ondisk" / lexicon_store="ondisk" so each
+        # actor's RSS stays bounded (state/disktables.py)
+        self.engine = QueryEngine(index_dir, config, **(engine_kwargs or {}))
         self.k = k
         self.qtype = qtype
 
@@ -75,6 +79,7 @@ def serve_queries(
     qtype: str = "OR",
     concurrency: int = 4,
     batch_size: int = 64,
+    engine_kwargs: dict | None = None,
 ):
     """Evaluate a query set through an actor pool of query engines.
 
@@ -87,7 +92,7 @@ def serve_queries(
     ds = rd.from_items([{"qid": qid, "query": q} for qid, q in queries])
     return ds.map_batches(
         QueryEngineActor,
-        fn_constructor_args=(index_dir, config, k, qtype),
+        fn_constructor_args=(index_dir, config, k, qtype, engine_kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

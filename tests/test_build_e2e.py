@@ -810,6 +810,45 @@ class TestOutOfCoreEngine:
         for d in rng.integers(0, er.docs.num_docs, size=50):
             assert er.doc_lookup(int(d)) == eo.doc_lookup(int(d))
 
+    def test_url_cache_is_bounded(self, built, ray_session):
+        """ondisk mode must keep at most url_cache_row_groups decoded
+        row-group url arrays resident, regardless of lookup pattern —
+        the bounded-RSS contract for serving actors."""
+        from invertedindex_ray.state.disktables import DocTable
+
+        _, cfg, idx_dir, _ = built
+        dt = DocTable(os.path.join(idx_dir, "doc_table"), mode="ondisk",
+                      url_cache_row_groups=1)
+        n_groups = sum(len(r) - 1 for r in dt._rg_offsets)
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for pos in rng.integers(0, dt.num_docs, size=200):
+            dt.url_at(int(pos))
+        assert len(dt._url_cache._cache) <= 1
+        # and lookups remain correct through the cache churn
+        resident = DocTable(os.path.join(idx_dir, "doc_table"), mode="resident")
+        for pos in rng.integers(0, dt.num_docs, size=50):
+            assert dt.url_at(int(pos)) == resident.url_at(int(pos))
+        assert n_groups >= 1
+
+    def test_serving_ondisk_engine_matches(self, built, ray_session):
+        from invertedindex_ray.pipelines.serving import serve_queries
+
+        _, cfg, idx_dir, _ = built
+        e = QueryEngine(idx_dir, cfg)
+        qs = [("q1", "data index"), ("q2", "posting lexicon")]
+        out = serve_queries(
+            idx_dir, qs, config=cfg, k=5, concurrency=2, batch_size=1,
+            engine_kwargs={"doc_store": "ondisk", "lexicon_store": "ondisk"},
+        ).take_all()
+        got: dict[str, list] = {}
+        for r in out:
+            got.setdefault(r["qid"], []).append((r["rank"], r["url"]))
+        for qid, q in qs:
+            expect = [(i, u) for i, (u, _s) in enumerate(e.query("OR " + q, 5), 1)]
+            assert sorted(got.get(qid, [])) == expect, qid
+
     def test_ondisk_hash_mode(self, tmp_path, ray_session):
         import pyarrow as pa
         import pyarrow.parquet as pq
