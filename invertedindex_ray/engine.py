@@ -573,9 +573,9 @@ class QueryEngine:
 
         ids = np.concatenate([sp[0] for _, _, sp in terms])
         scores = np.concatenate([sp[1] for _, _, sp in terms])
-        if self._dense:
-            # dense ids: direct O(n + N) accumulation, no sort
-            n_docs = self.docs.num_docs
+        n_docs = self.docs.num_docs
+        if self._dense and len(ids) * 4 >= n_docs:
+            # dense ids, head query: direct O(n + N) accumulation, no sort
             acc = np.bincount(ids, weights=scores, minlength=n_docs)
             cnt = np.bincount(ids, minlength=n_docs)
             if qtype == "and":
@@ -586,6 +586,9 @@ class QueryEngine:
                 return []
             uniq_ids = hit
             totals = acc[hit]
+            # (both branches add each doc's term scores in input order, so
+            # the sparse path below is bit-identical — np.bincount and the
+            # grouped bincount accumulate in order of appearance)
         else:
             uniq_ids, inv, counts = np.unique(
                 ids, return_inverse=True, return_counts=True
