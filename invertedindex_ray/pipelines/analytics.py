@@ -56,13 +56,40 @@ class _TokenizeDocs(TokenizeStage):
         return out.filter(pc.greater(out["doc_len"], 0))
 
 
+def _tokenize_docs_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+    """Stateless-task tokenize keyed by doc_id (documents table), using
+    the per-worker module-global stem memo."""
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.functions.textproc import tokenize_docs
+    from invertedindex_ray.stages.tokenize import _GLOBAL_MEMO
+
+    terms, tfs, doc_len = tokenize_docs(
+        batch["text"],
+        stemming=cfg.stemming,
+        stopword_removal=cfg.stopwords,
+        max_term_len=cfg.max_term_len,
+        memo=_GLOBAL_MEMO if cfg.stemming else None,
+    )
+    ids = batch["doc_id"]
+    out = pa.table(
+        {
+            "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )
+    return out.filter(pc.greater(out["doc_len"], 0))
+
+
 def _tokenized(sf_dir: str, cfg: IndexConfig):
+    # stateless tasks on the warm worker pool (full cluster parallelism;
+    # a fixed-size actor pool here capped every analytics pipeline at its
+    # actor count). The stem memo is module state per worker process.
     return _read_docs(sf_dir).map_batches(
-        _TokenizeDocs,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=4,
+        lambda b: _tokenize_docs_batch(b, cfg),
+        batch_format="pyarrow", batch_size=2048,
     )
 
 
@@ -97,12 +124,11 @@ def doc_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
 
 # ---------- A1: collection statistics ----------
 
-def collection_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
-    """One row: num_docs, total_tokens, avg_doc_len (Indexer.java:129-131)."""
+def collection_stats_from(tok) -> pa.Table:
+    """Stats from an (optionally materialized) tokenized dataset."""
     from ray.data.aggregate import Count, Sum
 
-    slim = _tokenized(sf_dir, cfg).select_columns(["doc_len"])
-    agg = slim.aggregate(Count(), Sum("doc_len"))
+    agg = tok.select_columns(["doc_len"]).aggregate(Count(), Sum("doc_len"))
     n = int(agg["count()"])
     tot = int(agg["sum(doc_len)"] or 0)
     return pa.table(
@@ -112,6 +138,11 @@ def collection_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
             "avg_doc_len": pa.array([tot / n if n else 0.0], type=pa.float64()),
         }
     )
+
+
+def collection_stats(sf_dir: str, cfg: IndexConfig = NOSTEM):
+    """One row: num_docs, total_tokens, avg_doc_len (Indexer.java:129-131)."""
+    return collection_stats_from(_tokenized(sf_dir, cfg))
 
 
 # ---------- postings + lexicon (A2/A3) ----------

@@ -27,7 +27,7 @@ from invertedindex_ray.pipelines.analytics import (
     NOSTEM,
     _explode_batch,
     _tokenized,
-    collection_stats,
+    collection_stats_from,
 )
 
 
@@ -77,7 +77,10 @@ def batch_topk(
              "rank": pa.array([], type=pa.int64())}
         )
 
-    stats = collection_stats(sf_dir, cfg)
+    # tokenize ONCE and reuse for stats, df and scoring (three derived
+    # executions read the materialized blocks instead of re-tokenizing)
+    tok = _tokenized(sf_dir, cfg).materialize()
+    stats = collection_stats_from(tok)
     n_docs = int(stats["num_docs"][0].as_py())
     avg = float(stats["avg_doc_len"][0].as_py())
     term_set = frozenset(all_terms)
@@ -89,7 +92,9 @@ def batch_topk(
         mask = pc.is_in(t["term"], value_set=pa.array(sorted(term_set), type=pa.string()))
         return t.filter(mask)
 
-    post = _tokenized(sf_dir, cfg).map_batches(matching_postings, batch_format="pyarrow")
+    # materialized: reused by the df aggregate AND the scoring pass (a
+    # lazy `post` would re-run explode+filter once per consumer)
+    post = tok.map_batches(matching_postings, batch_format="pyarrow").materialize()
     # df for the (few) query terms — a tiny shuffle
     from ray.data.aggregate import Count
 
