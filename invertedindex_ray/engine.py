@@ -258,6 +258,8 @@ class QueryEngine:
         cursor: str = "decoded",
         doc_store: str = "auto",
         lexicon_store: str = "auto",
+        segments: str = "bucket",
+        term_cache_size: int = 4096,
     ):
         """``traversal``:
 
@@ -308,6 +310,14 @@ class QueryEngine:
         if cursor not in ("decoded", "lazy"):
             raise ValueError(f"unknown cursor mode {cursor!r}")
         self.cursor_mode = cursor
+        # "bucket": whole bucket file decoded + cached on first touch
+        # (fast when buckets fit memory). "pruned": per-term filtered
+        # parquet reads (row-group pruning over the term-sorted file) with
+        # a bounded term LRU — the web-scale serving mode where a bucket
+        # file may be tens of GB (DiskDataStructuresSearch range reads).
+        if segments not in ("bucket", "pruned"):
+            raise ValueError(f"unknown segments mode {segments!r}")
+        self.segments_mode = segments
         self.stats = CollectionStats.load(index_dir)
 
         from invertedindex_ray.state.disktables import DocTable, Lexicon
@@ -321,6 +331,8 @@ class QueryEngine:
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
         self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes, bytes]]]] = {}
+        self._term_rows_cache: OrderedDict[tuple[int, str], list] = OrderedDict()
+        self._term_cache_size = term_cache_size
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
     # ---------- lexicon / doc table ----------
@@ -369,15 +381,55 @@ class QueryEngine:
         self._bucket_cache[bucket] = out
         return out
 
+    def _pruned_term_rows(self, bucket: int, term: str) -> list:
+        """All (part, doc_ids_vb, tfs_vb, skips) rows of one term in one
+        bucket via a filtered parquet read (row-group pruning: the bucket
+        file is term-sorted), LRU-cached per (bucket, term)."""
+        key = (bucket, term)
+        cached = self._term_rows_cache.get(key)
+        if cached is not None:
+            self._term_rows_cache.move_to_end(key)
+            return cached
+        path = segment_path(self.index_dir, bucket)
+        rows: list = []
+        if os.path.exists(path):
+            t = pq.read_table(
+                path,
+                columns=["term", "part", "doc_ids_vb", "tfs_vb", "skips"],
+                filters=[("term", "==", term)],
+            )
+            rows = list(
+                zip(
+                    (int(x) for x in t["part"].to_pylist()),
+                    t["doc_ids_vb"].to_pylist(),
+                    t["tfs_vb"].to_pylist(),
+                    t["skips"].to_pylist(),
+                )
+            )
+        self._term_rows_cache[key] = rows
+        while len(self._term_rows_cache) > self._term_cache_size:
+            self._term_rows_cache.popitem(last=False)
+        return rows
+
     def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes, bytes]]:
         rows = []
         buckets = term_buckets_all_parts(
             term, self._n_parts, self.config.num_buckets
         )
-        for part, b in enumerate(buckets):
-            rows.extend(
-                r for r in self._bucket_rows(int(b)).get(term, ()) if r[0] == part
-            )
+        if self.segments_mode == "pruned":
+            by_bucket: dict[int, list[int]] = {}
+            for part, b in enumerate(buckets):
+                by_bucket.setdefault(int(b), []).append(part)
+            for b, parts in by_bucket.items():
+                wanted = set(parts)
+                rows.extend(
+                    r for r in self._pruned_term_rows(b, term) if r[0] in wanted
+                )
+        else:
+            for part, b in enumerate(buckets):
+                rows.extend(
+                    r for r in self._bucket_rows(int(b)).get(term, ()) if r[0] == part
+                )
         rows.sort(key=lambda r: r[0])
         return rows
 

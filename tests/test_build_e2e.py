@@ -849,6 +849,22 @@ class TestOutOfCoreEngine:
             expect = [(i, u) for i, (u, _s) in enumerate(e.query("OR " + q, 5), 1)]
             assert sorted(got.get(qid, [])) == expect, qid
 
+    def test_pruned_segment_reads_match(self, built, ray_session):
+        """segments="pruned" (per-term filtered reads + bounded LRU, no
+        whole-bucket residency) must answer identically."""
+        _, cfg, idx_dir, _ = built
+        eb = QueryEngine(idx_dir, cfg)
+        ep = QueryEngine(idx_dir, cfg, segments="pruned", term_cache_size=8)
+        for q in QUERIES:
+            assert eb.query(q, 10) == ep.query(q, 10), q
+        assert len(ep._term_rows_cache) <= 8
+        assert not ep._bucket_cache  # never loads whole buckets
+        # lazy cursors read through the same path
+        el = QueryEngine(idx_dir, cfg, traversal="daat", cursor="lazy",
+                         segments="pruned")
+        for q in QUERIES[:4]:
+            assert _canonical(eb.query(q, 10)) == _canonical(el.query(q, 10)), q
+
     def test_ondisk_hash_mode(self, tmp_path, ray_session):
         import pyarrow as pa
         import pyarrow.parquet as pq
