@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
+        "resize_images": lambda sf: multimodal.resize_images(sf),
+        "frame_sample": lambda sf: multimodal.frame_sample(sf),
     }
     return q
 
@@ -532,6 +534,9 @@ FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "lang_id": _lang_id_sql(),
+        "decode_features": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\nSELECT url,\n       (64 + ('0x' || substr(h, 1, 2))::BIGINT)::INT AS width,\n       (64 + ('0x' || substr(h, 3, 2))::BIGINT)::INT AS height,\n       ('0x' || substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT / 4294967296.0 AS f0,\n       ('0x' || substr(h, 15, 2) || substr(h, 13, 2) || substr(h, 11, 2) || substr(h, 9, 2))::BIGINT / 4294967296.0 AS f1,\n       ('0x' || substr(h, 23, 2) || substr(h, 21, 2) || substr(h, 19, 2) || substr(h, 17, 2))::BIGINT / 4294967296.0 AS f2,\n       ('0x' || substr(h, 31, 2) || substr(h, 29, 2) || substr(h, 27, 2) || substr(h, 25, 2))::BIGINT / 4294967296.0 AS f3,\n       ('0x' || substr(h, 39, 2) || substr(h, 37, 2) || substr(h, 35, 2) || substr(h, 33, 2))::BIGINT / 4294967296.0 AS f4,\n       ('0x' || substr(h, 47, 2) || substr(h, 45, 2) || substr(h, 43, 2) || substr(h, 41, 2))::BIGINT / 4294967296.0 AS f5,\n       ('0x' || substr(h, 55, 2) || substr(h, 53, 2) || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT / 4294967296.0 AS f6,\n       ('0x' || substr(h, 63, 2) || substr(h, 61, 2) || substr(h, 59, 2) || substr(h, 57, 2))::BIGINT / 4294967296.0 AS f7\nFROM base\n",
+        "resize_images": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\n, dims AS (\n  SELECT url,\n         (64 + ('0x' || substr(h, 1, 2))::BIGINT)::INT AS width,\n         (64 + ('0x' || substr(h, 3, 2))::BIGINT)::INT AS height\n  FROM base\n)\nSELECT url, width, height,\n       CASE WHEN greatest(width, height) <= 128 THEN width\n            ELSE greatest(1, width * 128 // greatest(width, height)) END::INT AS new_width,\n       CASE WHEN greatest(width, height) <= 128 THEN height\n            ELSE greatest(1, height * 128 // greatest(width, height)) END::INT AS new_height\nFROM dims\n",
+        "frame_sample": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\nSELECT b.url, i AS frame_idx, (i * 16)::BIGINT AS byte_offset\nFROM base b, LATERAL (SELECT unnest(generate_series(0, b.n_bytes // 16 - 1)) AS i) s\nWHERE i % 4 = 0\n",
         "ann_ivf_topk": _IVF_SQL,
         "doc_stats": _base("SELECT doc_id, doc_len FROM docstats"),
         "collection_stats": _base(

@@ -137,8 +137,9 @@ class TestMultimodal:
         from invertedindex_ray.pipelines.multimodal import decode_features
 
         a = _pdf(decode_features(SF)).sort_values("url").reset_index(drop=True)
-        assert list(a.columns) == ["url", "width", "height", "feature"]
-        assert a["feature"].map(len).eq(8).all()
+        assert list(a.columns) == ["url", "width", "height"] + [f"f{j}" for j in range(8)]
+        for j in range(8):
+            assert a[f"f{j}"].between(0, 1).all()
         assert a["width"].between(64, 64 + 255).all()
         b = _pdf(decode_features(SF)).sort_values("url").reset_index(drop=True)
         assert a.equals(b)
