@@ -1,4 +1,4 @@
-"""Command-line entry point: ``python -m invertedindex_ray {index,query,trec}``.
+"""Command-line entry point: ``python -m invertedindex_ray {index,query,trec,eval}``.
 
 Mirrors the reference's UX (/root/reference/src/main/java/it/unipi/
 Main.java:16-36: ``java -jar … index [textual|binary] | query``, with the
@@ -10,6 +10,8 @@ QueryProcessor.java:63-82), on top of IndexBuilder / QueryEngine.
   query  — one-shot ``[AND|OR] terms…`` queries, or an interactive REPL
            when no query argument is given (exit with 'exit' / EOF).
   trec   — batch-evaluate a query TSV into a TREC run file (S5/S6).
+  eval   — score a TREC run file against a qrels file (mAP / MRR /
+           nDCG@k, the reference's trec_eval flow).
 
 Owns its Ray session (guarded init — the only module-level entry point
 besides bench.py allowed to)."""
@@ -125,6 +127,31 @@ def cmd_trec(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    # pure driver-side metric computation — no Ray session needed
+    from invertedindex_ray.functions.evaluation import evaluate_run
+
+    run: dict[str, list[tuple[int, str]]] = {}
+    with open(args.run, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 6:
+                qid, _q0, doc, rank = parts[0], parts[1], parts[2], int(parts[3])
+                run.setdefault(qid, []).append((rank, doc))
+    run_sorted = {q: [d for _, d in sorted(rows)] for q, rows in run.items()}
+    qrels: dict[str, set[str]] = {}
+    with open(args.qrels, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            # TREC qrels: qid iter doc rel
+            if len(parts) >= 4 and int(parts[3]) > 0:
+                qrels.setdefault(parts[0], set()).add(parts[2])
+    m = evaluate_run(run_sorted, qrels, ndcg_k=args.ndcg_k)
+    for k, v in m.items():
+        print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m invertedindex_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -159,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("-k", type=int, default=100)
     pt.add_argument("--qtype", default="OR", choices=["OR", "AND"])
     pt.set_defaults(fn=cmd_trec)
+
+    pe = sub.add_parser("eval", help="score a TREC run against qrels")
+    pe.add_argument("--run", required=True, help="TREC run file")
+    pe.add_argument("--qrels", required=True, help="TREC qrels file")
+    pe.add_argument("--ndcg-k", type=int, default=10)
+    pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -61,3 +61,14 @@ def test_cli_index_query_trec_roundtrip(cli_env):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = open(out).read().splitlines()
     assert lines and all(len(ln.split(" ")) == 6 for ln in lines)
+
+    # eval: treat the run's own top-1 docs as relevant -> perfect metrics
+    qrels = str(d / "qrels.txt")
+    with open(qrels, "w") as f:
+        for ln in lines:
+            qid, _q0, doc, rank, _s, _r = ln.split(" ")
+            if rank == "1":
+                f.write(f"{qid} 0 {doc} 1\n")
+    r = _run(["eval", "--run", out, "--qrels", qrels], env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "map: 1.0000" in r.stdout and "mrr: 1.0000" in r.stdout
