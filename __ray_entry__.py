@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
         ).sessionize(sf),
+        "window_hopping": lambda sf: __import__(
+            "invertedindex_ray.pipelines.windows", fromlist=["x"]
+        ).hopping_counts(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -696,6 +699,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tstats t USING (doc_id)
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "window_hopping": """
+WITH e AS (
+  SELECT epoch_us(ts) AS tus, event_type, value FROM events
+),
+x AS (
+  SELECT ((tus // 1800000000) * 1800000000 - k * 1800000000) AS ws,
+         event_type, value
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) s
+)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM x GROUP BY 1, 2
+""",
         "window_tumbling": """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,

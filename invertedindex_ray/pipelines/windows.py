@@ -85,6 +85,73 @@ def tumbling_counts(sf_dir: str, window_hours: int = 1):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_counts(sf_dir: str, window_hours: int = 1, hop_minutes: int = 30):
+    """Overlapping (hopping) windows: every event lands in
+    ``window/hop`` windows; per (window_start, event_type) count +
+    sum(value). The replication factor is bounded (window/hop), applied
+    map-side and combined per batch BEFORE the one small groupby — the
+    shuffle stays one row per (window, type) per batch, not per event.
+    Exact DuckDB mirror (integer µs arithmetic)."""
+    from ray.data.aggregate import Sum
+
+    w_us = window_hours * _HOUR_US
+    hop_us = hop_minutes * 60_000_000
+    n_hops = w_us // hop_us
+    assert w_us % hop_us == 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        # replicate: window starts base, base-hop, ..., base-(n-1)*hop
+        wins = (base[None, :] - (np.arange(n_hops, dtype=np.int64) * hop_us)[:, None]).ravel()
+        et = batch["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        d = pc.dictionary_encode(et)
+        codes = np.tile(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_hops
+        )
+        val = np.tile(batch["value"].to_numpy(zero_copy_only=False), n_hops)
+        nv = len(d.dictionary)
+        key = wins * np.int64(nv) + codes
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        sv = np.bincount(inv, weights=val)
+        return pa.table(
+            {
+                "window_start": pa.array(uniq // nv, type=pa.int64()),
+                "event_type": d.dictionary.take(pa.array(uniq % nv, type=pa.int64())),
+                "n_p": pa.array(n.astype(np.int64), type=pa.int64()),
+                "sum_value_p": pa.array(sv, type=pa.float64()),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_value_p", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from invertedindex_ray.functions.rounding import round_half_up
+
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "event_type": batch["event_type"].combine_chunks()
+                if isinstance(batch["event_type"], pa.ChunkedArray)
+                else batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value_r": pa.array(round_half_up(sv, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Output one row per session:
