@@ -174,6 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.ann_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
+        # --- sketch / heavy-hitter aggregates ---
+        "top_terms": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).top_terms(sf, n=50),
+        "cms_term_counts": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).cms_term_counts(sf, ["data", "query", "join", "the", "zzznope"]),
         # --- text analysis ---
         "token_count": lambda sf: textstats.token_count(sf),
         "quality_score": lambda sf: textstats.quality_score(sf),
@@ -699,6 +706,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tstats t USING (doc_id)
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "top_terms": """
+WITH tk AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w AS term, count(*)::BIGINT AS n_occurrences FROM tk GROUP BY w),
+r AS (
+  SELECT term, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank
+  FROM c
+)
+SELECT term, n_occurrences, rank::BIGINT AS rank FROM r WHERE rank <= 50
+""",
         "window_hopping": """
 WITH e AS (
   SELECT epoch_us(ts) AS tus, event_type, value FROM events

@@ -1,0 +1,159 @@
+"""Sketch / heavy-hitter aggregates over the documents table — the
+approximate-aggregate family a training-data pipeline uses to profile a
+corpus without a full shuffle.
+
+- :func:`top_terms` — EXACT distributed heavy hitters: per-batch term
+  counts (partial combine) -> one groupby(term) -> global top-N by
+  (count desc, term asc). The shuffle moves one row per distinct term
+  per batch; SQL-checkable.
+- :func:`cms_term_counts` — count-min sketch (Cormode & Muthukrishnan
+  2005): each batch builds a d×w sketch of its token stream; sketches
+  are MERGEABLE by elementwise sum, so the reduce is a tiny fixed-size
+  aggregation no matter the corpus size (the canonical "novel sketch as
+  a combiner" custom operator). Point queries overestimate by at most
+  εN with probability 1-δ (ε=e/w, δ=e^-d); the pytest asserts both the
+  ≥-true guarantee and the bound.
+
+Hashing is deterministic (md5-based row seeds), so sketch contents are
+reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindex_ray.functions.hashing import hash_strings
+
+_SPLIT = r"[^a-z0-9]+"
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _batch_term_counts(batch: pa.Table) -> pa.Table:
+    """(term, n_p): per-batch token counts (the partial combine)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(text, "")), _SPLIT
+    )
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.values.filter(pc.not_equal(toks.values, ""))
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
+    return pa.table(
+        {
+            "term": d.dictionary,
+            "n_p": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+def top_terms(sf_dir: str, n: int = 50):
+    """(term, n_occurrences, rank): the n most frequent word tokens,
+    exactly — rank by (count desc, term asc). Partial-combine keeps the
+    shuffle at one row per distinct term per batch; the final top-N is a
+    driver-side selection over the (vocabulary-sized) aggregate via a
+    bounded per-block partial top-N."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read_docs(sf_dir)
+        .map_batches(_batch_term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n_occurrences"))
+    )
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        cnt = batch["n_occurrences"].to_numpy(zero_copy_only=False)
+        if len(cnt) > n:
+            terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+            sel = np.lexsort((terms, -cnt))[:n]
+            batch = batch.take(pa.array(np.sort(sel)))
+        return batch
+
+    t = pa.Table.from_pylist(
+        agg.map_batches(partial_topn, batch_format="pyarrow").take_all()
+    )
+    cnt = t["n_occurrences"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    order = np.lexsort((terms, -cnt))[:n]
+    return pa.table(
+        {
+            "term": pa.array(terms[order], type=pa.string()),
+            "n_occurrences": pa.array(cnt[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _cms_params(width: int, depth: int) -> np.ndarray:
+    """Deterministic per-row xor seeds for the d hash functions."""
+    rng = np.random.default_rng(0x5EEC)
+    return rng.integers(0, 2**63, size=depth, dtype=np.uint64)
+
+
+def _cms_add(sketch: np.ndarray, hashes: np.ndarray, counts: np.ndarray,
+             seeds: np.ndarray) -> None:
+    w = sketch.shape[1]
+    for r, seed in enumerate(seeds):
+        idx = ((hashes ^ seed) % np.uint64(w)).astype(np.int64)
+        np.add.at(sketch[r], idx, counts)
+
+
+def cms_term_counts(
+    sf_dir: str,
+    terms: list[str],
+    *,
+    width: int = 2048,
+    depth: int = 4,
+):
+    """(term, est_count): count-min-sketch point estimates for ``terms``.
+
+    Per-batch d×w sketches merge by ELEMENTWISE SUM — the whole corpus
+    reduces to one fixed 64 KB matrix regardless of size, shipped as one
+    row per batch (bounded by block count, not rows). est >= true always;
+    est <= true + (e/width)·N with probability 1 - e^-depth."""
+    seeds = _cms_params(width, depth)
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        t = _batch_term_counts(batch)
+        h = hash_strings(np.asarray(t["term"].to_pylist(), dtype=object))
+        cnt = t["n_p"].to_numpy(zero_copy_only=False)
+        sk = np.zeros((depth, width), dtype=np.int64)
+        _cms_add(sk, h, cnt, seeds)
+        return pa.table({"sketch": pa.array([sk.ravel()], type=pa.list_(pa.int64()))})
+
+    rows = (
+        _read_docs(sf_dir)
+        .map_batches(batch_sketch, batch_format="pyarrow")
+        .take_all()
+    )  # one fixed-size row per batch: bounded driver merge
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        sketch += np.asarray(r["sketch"], dtype=np.int64)
+    sketch = sketch.reshape(depth, width)
+
+    qh = hash_strings(np.asarray(list(terms), dtype=object))
+    est = np.empty(len(terms), dtype=np.int64)
+    for i, h in enumerate(qh):
+        cells = [
+            sketch[r, int((np.uint64(h) ^ seed) % np.uint64(width))]
+            for r, seed in enumerate(seeds)
+        ]
+        est[i] = min(cells)
+    return pa.table(
+        {
+            "term": pa.array(list(terms), type=pa.string()),
+            "est_count": pa.array(est, type=pa.int64()),
+        }
+    )

@@ -200,3 +200,53 @@ class TestWindows:
 
         n = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
         assert int(got["n_events"].sum()) == n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketches:
+    def test_top_terms_exact_against_duckdb(self):
+        import duckdb
+
+        from invertedindex_ray.pipelines.sketches import top_terms
+
+        got = top_terms(SF, n=10).to_pandas()
+        exp = duckdb.sql(f"""
+            WITH tk AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+              FROM read_parquet('{SF}/documents.parquet')
+            ),
+            c AS (SELECT w, count(*) n FROM tk GROUP BY w)
+            SELECT w, n FROM c ORDER BY n DESC, w LIMIT 10
+        """).fetchdf()
+        assert got["term"].tolist() == exp["w"].tolist()
+        assert got["n_occurrences"].tolist() == exp["n"].tolist()
+
+    def test_cms_overestimates_within_bound(self):
+        import duckdb
+
+        from invertedindex_ray.pipelines.sketches import cms_term_counts
+
+        true = dict(duckdb.sql(f"""
+            WITH tk AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+              FROM read_parquet('{SF}/documents.parquet')
+            ) SELECT w, count(*) FROM tk GROUP BY w
+        """).fetchall())
+        n_total = sum(true.values())
+        probe = list(true)[:20] + ["definitelynotaword"]
+        width, depth = 2048, 4
+        est = cms_term_counts(SF, probe, width=width, depth=depth)
+        import math
+
+        eps_bound = math.e / width * n_total
+        for t, e in zip(est["term"].to_pylist(), est["est_count"].to_pylist()):
+            tv = true.get(t, 0)
+            assert e >= tv, (t, e, tv)          # CMS never underestimates
+            assert e <= tv + eps_bound, (t, e, tv)  # and stays within eN/w
+
+    def test_cms_deterministic(self):
+        from invertedindex_ray.pipelines.sketches import cms_term_counts
+
+        a = cms_term_counts(SF, ["data", "join"]).to_pydict()
+        b = cms_term_counts(SF, ["data", "join"]).to_pydict()
+        assert a == b
