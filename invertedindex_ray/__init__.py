@@ -21,4 +21,4 @@ by bench.py / tests / the driver.
 from invertedindex_ray.config import IndexConfig
 
 __all__ = ["IndexConfig"]
-__version__ = "0.2.0"
+__version__ = "0.2.1"
