@@ -10,8 +10,6 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from invertedindex_ray.functions.hashing import hash_strings
-from invertedindex_ray.functions.rounding import round_half_up_scalar
 from invertedindex_ray.functions.textproc import STOPWORDS
 
 _WORD = re.compile(r"[^a-zA-Z0-9]+")
