@@ -197,6 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
         ).hopping_counts(sf),
+        # --- relational / streaming hygiene ---
+        "json_props": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).json_props(sf),
+        "sample_docs": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).sample_docs(sf),
+        "late_events": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).late_events(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -718,6 +728,21 @@ r AS (
   FROM c
 )
 SELECT term, n_occurrences, rank::BIGINT AS rank FROM r WHERE rank <= 50
+""",
+        "json_props": (
+            "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"
+        ),
+        "sample_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE (md5_number_lower(doc_id::VARCHAR) >> 1) % 1000 < 100"
+        ),
+        "late_events": """
+SELECT event_id, user_id,
+       ts < (max(ts) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING
+             ) - INTERVAL 60 MINUTE) AS is_late
+FROM events
 """,
         "window_hopping": """
 WITH e AS (

@@ -1,0 +1,103 @@
+"""Relational / streaming-hygiene operators the survey listed as absent
+from the reference but essential to a production data pipeline: JSON
+property extraction, deterministic sampling, and late-event marking.
+
+All three are embarrassingly parallel map_batches stages (no shuffle
+except the per-user grouping in late_events) with exact DuckDB mirrors.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindex_ray.functions.hashing import md5_hash63
+
+
+def _events(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def json_props(sf_dir: str):
+    """(event_id, k): parse the events table's JSON ``props`` column and
+    extract the integer ``k`` property (null-safe). Per-row json.loads in
+    a map_batches task — the standard semi-structured extraction stage;
+    SQL mirror: json_extract(props, '$.k')."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k") if p else None
+            except (ValueError, TypeError):
+                v = None
+            vals.append(int(v) if v is not None else None)
+        ids = batch["event_id"]
+        return pa.table(
+            {
+                "event_id": ids.combine_chunks()
+                if isinstance(ids, pa.ChunkedArray)
+                else ids,
+                "k": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    return _events(sf_dir, ["event_id", "props"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def sample_docs(sf_dir: str, *, rate_permille: int = 100):
+    """Deterministic hash sampling of the documents table: keep a doc iff
+    md5_hash63(doc_id) % 1000 < rate_permille — stable across runs and
+    cluster sizes (the reproducible-subset primitive for experiments /
+    holdouts). SQL mirror: (md5_number_lower(doc_id) >> 1) % 1000."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_hash63([str(int(i)) for i in ids]).astype(np.uint64)
+        keep = (h % np.uint64(1000)) < rate_permille
+        return batch.filter(pa.array(keep))
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .map_batches(f, batch_format="pyarrow")
+    )
+
+
+def late_events(sf_dir: str, *, lateness_minutes: int = 60):
+    """(event_id, user_id, is_late): streaming late-data marking in batch
+    form — per user, replay events in ARRIVAL order (event_id) and flag
+    any event whose timestamp is more than ``lateness_minutes`` behind
+    the running max event time (the per-key watermark). The per-user
+    state never leaves one task (groupby.map_groups); SQL mirror is a
+    running max window."""
+    late_us = lateness_minutes * 60_000_000
+
+    def flag(group: pa.Table) -> pa.Table:
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        eid, ts = eid[order], ts[order]
+        wm = np.maximum.accumulate(ts)
+        is_late = ts < (wm - late_us)
+        uid = int(group["user_id"][0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(np.full(len(eid), uid), type=pa.int64()),
+                "is_late": pa.array(is_late, type=pa.bool_()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(flag, batch_format="pyarrow")
+    )

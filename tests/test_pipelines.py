@@ -250,3 +250,31 @@ class TestSketches:
         a = cms_term_counts(SF, ["data", "join"]).to_pydict()
         b = cms_term_counts(SF, ["data", "join"]).to_pydict()
         assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_sample_is_deterministic_subset(self):
+        from invertedindex_ray.pipelines.relational import sample_docs
+
+        a = _pdf(sample_docs(SF)).sort_values("doc_id").reset_index(drop=True)
+        b = _pdf(sample_docs(SF)).sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert 0 < len(a) < 500  # a strict, non-empty subset at 10%
+
+    def test_json_props_parses_all(self):
+        from invertedindex_ray.pipelines.relational import json_props
+
+        df = _pdf(json_props(SF))
+        assert df["k"].notna().all()
+        assert (df["k"] >= 0).all()
+
+    def test_late_events_watermark_semantics(self):
+        from invertedindex_ray.pipelines.relational import late_events
+
+        df = _pdf(late_events(SF, lateness_minutes=0))
+        # with zero allowed lateness, any out-of-arrival-order event is
+        # late; with a huge allowance, none are
+        df2 = _pdf(late_events(SF, lateness_minutes=10**7))
+        assert df["is_late"].sum() >= df2["is_late"].sum()
+        assert df2["is_late"].sum() == 0
