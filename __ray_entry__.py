@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).late_events(sf),
+        "asof_join": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).asof_join_events(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -743,6 +746,17 @@ SELECT event_id, user_id,
                ROWS UNBOUNDED PRECEDING
              ) - INTERVAL 60 MINUTE) AS is_late
 FROM events
+""",
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS v FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, r.v AS prior_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "window_hopping": """
 WITH e AS (

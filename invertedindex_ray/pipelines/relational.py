@@ -101,3 +101,70 @@ def late_events(sf_dir: str, *, lateness_minutes: int = 60):
         .groupby("user_id")
         .map_groups(flag, batch_format="pyarrow")
     )
+
+
+def asof_join_events(
+    sf_dir: str,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "click",
+):
+    """As-of join (the classic event-attribution query): for every
+    ``left_type`` event, attach the value of the latest ``right_type``
+    event of the same user with right.ts <= left.ts — an operator Ray
+    Data has no primitive for. Expressed as ONE groupby(user_id) shuffle
+    + a vectorized per-group merge (sort right side by ts, searchsorted
+    the left timestamps); the partitioning assumption is that one user's
+    events fit one task, the same contract as sessionization.
+
+    Right-side ties at the same (user, ts) are collapsed to max(value)
+    first, making the result deterministic (and identical to DuckDB's
+    native ASOF JOIN over the same pre-aggregated side).
+
+    Output: (event_id, user_id, prior_value — NULL when no prior event).
+    """
+
+    def merge(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        uid = int(group["user_id"][0].as_py())
+
+        lmask = et == left_type
+        if not lmask.any():
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "prior_value": pa.array([], type=pa.float64()),
+                }
+            )
+        rmask = et == right_type
+        l_eid, l_ts = eid[lmask], ts[lmask]
+        r_ts, r_val = ts[rmask], val[rmask]
+        # collapse right-side ts ties to max(value), sort by ts
+        order = np.argsort(r_ts, kind="stable")
+        r_ts, r_val = r_ts[order], r_val[order]
+        if len(r_ts):
+            uniq_ts, start = np.unique(r_ts, return_index=True)
+            ends = np.append(start[1:], len(r_ts))
+            r_val = np.array(
+                [r_val[s:e].max() for s, e in zip(start, ends)], dtype=np.float64
+            )
+            r_ts = uniq_ts
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        prior = [float(r_val[i]) if i >= 0 else None for i in idx]
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid, type=pa.int64()),
+                "user_id": pa.array(np.full(len(l_eid), uid), type=pa.int64()),
+                "prior_value": pa.array(prior, type=pa.float64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -278,3 +278,31 @@ class TestRelational:
         df2 = _pdf(late_events(SF, lateness_minutes=10**7))
         assert df["is_late"].sum() >= df2["is_late"].sum()
         assert df2["is_late"].sum() == 0
+
+    def test_asof_join_brute_force(self):
+        import duckdb
+
+        from invertedindex_ray.pipelines.relational import asof_join_events
+
+        got = _pdf(asof_join_events(SF)).sort_values("event_id").reset_index(drop=True)
+        ev = duckdb.sql(
+            f"select event_id, user_id, epoch_us(ts) t, event_type, value "
+            f"from read_parquet('{SF}/events.parquet')"
+        ).fetchdf()
+        import numpy as np
+
+        expect = {}
+        for _, r in ev[ev.event_type == "purchase"].iterrows():
+            cand = ev[(ev.user_id == r.user_id) & (ev.event_type == "click")
+                      & (ev.t <= r.t)]
+            if len(cand):
+                best_t = cand.t.max()
+                expect[int(r.event_id)] = float(cand[cand.t == best_t].value.max())
+            else:
+                expect[int(r.event_id)] = None
+        for _, r in got.iterrows():
+            want = expect[int(r.event_id)]
+            if want is None:
+                assert np.isnan(r.prior_value) or r.prior_value is None, r.event_id
+            else:
+                assert r.prior_value == want, r.event_id
