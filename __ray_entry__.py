@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).asof_join_events(sf),
+        "range_join": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).range_join_counts(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -757,6 +760,18 @@ r AS (
 )
 SELECT l.event_id, l.user_id, r.v AS prior_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id,
+       count(r.ts)::BIGINT AS n_right
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY l.event_id, l.user_id
 """,
         "window_hopping": """
 WITH e AS (

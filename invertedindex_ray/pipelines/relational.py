@@ -168,3 +168,52 @@ def asof_join_events(
         .groupby("user_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def range_join_counts(
+    sf_dir: str,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    window_minutes: int = 5,
+):
+    """Range (interval) join: for every ``left_type`` event, count the
+    same user's ``right_type`` events in (left.ts, left.ts + window] —
+    the other join shape Ray Data lacks a primitive for. Same partitioning
+    contract as the as-of join (one user per task); inside a group the
+    interval counts are two vectorized searchsorteds, not an O(n*m) loop.
+
+    Output: (event_id, user_id, n_right)."""
+    w_us = window_minutes * 60_000_000
+
+    def merge(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = int(group["user_id"][0].as_py())
+        lmask = et == left_type
+        if not lmask.any():
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_right": pa.array([], type=pa.int64()),
+                }
+            )
+        l_eid, l_ts = eid[lmask], ts[lmask]
+        r_ts = np.sort(ts[et == right_type])
+        lo = np.searchsorted(r_ts, l_ts, side="right")        # > left.ts
+        hi = np.searchsorted(r_ts, l_ts + w_us, side="right")  # <= ts + w
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid, type=pa.int64()),
+                "user_id": pa.array(np.full(len(l_eid), uid), type=pa.int64()),
+                "n_right": pa.array((hi - lo).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
