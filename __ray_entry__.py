@@ -744,10 +744,10 @@ SELECT term, n_occurrences, rank::BIGINT AS rank FROM r WHERE rank <= 50
         ),
         "late_events": """
 SELECT event_id, user_id,
-       ts < (max(ts) OVER (
+       (ts < (max(ts) OVER (
                PARTITION BY user_id ORDER BY event_id
                ROWS UNBOUNDED PRECEDING
-             ) - INTERVAL 60 MINUTE) AS is_late
+             ) - INTERVAL 60 MINUTE))::BIGINT AS is_late
 FROM events
 """,
         "asof_join": """

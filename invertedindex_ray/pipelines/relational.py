@@ -72,7 +72,7 @@ def sample_docs(sf_dir: str, *, rate_permille: int = 100):
 
 
 def late_events(sf_dir: str, *, lateness_minutes: int = 60):
-    """(event_id, user_id, is_late): streaming late-data marking in batch
+    """(event_id, user_id, is_late 0/1): streaming late-data marking in batch
     form — per user, replay events in ARRIVAL order (event_id) and flag
     any event whose timestamp is more than ``lateness_minutes`` behind
     the running max event time (the per-key watermark). The per-user
@@ -92,7 +92,8 @@ def late_events(sf_dir: str, *, lateness_minutes: int = 60):
             {
                 "event_id": pa.array(eid, type=pa.int64()),
                 "user_id": pa.array(np.full(len(eid), uid), type=pa.int64()),
-                "is_late": pa.array(is_late, type=pa.bool_()),
+                # int64 0/1 rather than bool: driver value-hash parity
+                "is_late": pa.array(is_late.astype(np.int64), type=pa.int64()),
             }
         )
 
