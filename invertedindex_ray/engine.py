@@ -260,6 +260,7 @@ class QueryEngine:
         lexicon_store: str = "auto",
         segments: str = "bucket",
         term_cache_size: int = 4096,
+        postings_cache_size: int = 65536,
     ):
         """``traversal``:
 
@@ -328,8 +329,12 @@ class QueryEngine:
 
         self._n_parts = max(1, self.config.num_doc_partitions)
 
-        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
-        self._scored_cache: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+        # decoded / scored posting arrays, LRU-bounded by TERM COUNT so a
+        # long-lived serving actor's memory can't grow without bound (the
+        # Zipf head working set stays hot; cold tail terms re-decode)
+        self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray] | None] = OrderedDict()
+        self._scored_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray] | None] = OrderedDict()
+        self._postings_cache_size = postings_cache_size
         self._bucket_cache: dict[int, dict[str, list[tuple[int, bytes, bytes, bytes]]]] = {}
         self._term_rows_cache: OrderedDict[tuple[int, str], list] = OrderedDict()
         self._term_cache_size = term_cache_size
@@ -436,6 +441,7 @@ class QueryEngine:
     def get_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Decoded (doc_ids, tfs) for a term, parts chained in doc-id order."""
         if term in self._postings_cache:
+            self._postings_cache.move_to_end(term)
             return self._postings_cache[term]
         if self._lexicon.get(term) is None:
             # out-of-vocabulary: no I/O beyond the lexicon probe (the
@@ -456,6 +462,8 @@ class QueryEngine:
         tfs = np.concatenate(tf_parts)
         out = (ids, tfs)
         self._postings_cache[term] = out
+        while len(self._postings_cache) > self._postings_cache_size:
+            self._postings_cache.popitem(last=False)
         return out
 
     def get_scored_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -463,6 +471,7 @@ class QueryEngine:
         precomputed once (idf * tf/(k1*norm+tf) in the reference op order)
         and cached; the vectorized query path is then pure array merging."""
         if term in self._scored_cache:
+            self._scored_cache.move_to_end(term)
             return self._scored_cache[term]
         p = self.get_postings(term)
         row = self._lexicon.get(term)
@@ -494,6 +503,8 @@ class QueryEngine:
             ) * idf
         out = (ids, scores)
         self._scored_cache[term] = out
+        while len(self._scored_cache) > self._postings_cache_size:
+            self._scored_cache.popitem(last=False)
         return out
 
     # ---------- query preprocessing (M7) ----------
