@@ -210,6 +210,14 @@ _EMPTY_TOKENIZED = pa.schema(
 _EMPTY_DOC_TABLE = pa.schema(
     [("doc_id", pa.int64()), ("url", pa.string()), ("doc_len", pa.int32())]
 )
+_EMPTY_LEXICON = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("tub", pa.float64()),
+    ]
+)
 
 
 class IndexBuilder:
@@ -310,6 +318,11 @@ class IndexBuilder:
         if self.checkpoint:
             os.makedirs(self._tokenized_dir(), exist_ok=True)
 
+        if self.config.id_mode == "hash" and self.checkpoint:
+            # hash ids are content-derived — nothing needs ingestion order,
+            # so prepare can STREAM (no corpus materialize, VERDICT r2 #5)
+            return self._run_prepare_hash_streaming(tok)
+
         # Materialize the tokenized corpus into the object store in LOGICAL
         # (ingestion) order; block row counts come from metadata (never the
         # rows), prefix-summed on the driver — O(#blocks), the distributed
@@ -344,7 +357,17 @@ class IndexBuilder:
         del mat  # release the pre-stamp blocks
 
         if self.config.id_mode == "hash":
-            self._hash_mode_doc_table(stamped_refs)
+            # checkpoint=False hash mode: the corpus exists only in the
+            # object store, so the slim doc-table sort reads the stamped
+            # block refs (checkpoint=True takes the fully streaming path
+            # in _run_prepare_hash_streaming and never reaches here)
+            import ray.data as rd
+
+            self._hash_mode_doc_table(
+                rd.from_arrow_refs(stamped_refs).select_columns(
+                    ["doc_id", "url", "doc_len"]
+                )
+            )
 
         num_docs = int(sum(i["num_rows"] for i in infos))
         total = int(sum(i["sum_doc_len"] for i in infos))
@@ -375,7 +398,80 @@ class IndexBuilder:
         self.manifest.mark_complete("doc_table", num_docs=num_docs)
         return stats
 
-    def _hash_mode_doc_table(self, stamped_refs: list) -> None:
+    def _run_prepare_hash_streaming(self, tok) -> CollectionStats:
+        """Hash-mode prepare with NO corpus materialize (VERDICT r2 #5):
+        the url-hash ids are content-derived, so no ingestion-order
+        barrier or prefix-sum is needed — each tokenize task stamps its
+        own batch, writes its tokenized checkpoint part directly, and
+        emits a 2-int stats row (the only thing the driver collects:
+        O(#batches)). The corpus then makes zero extra object-store
+        trips before the postings shuffle; the one remaining sort is the
+        slim ~30 B/doc (doc_id, url, doc_len) doc-table pass, reading
+        the column-pruned checkpoint. Requires checkpoint=True (the
+        segments stage re-reads the tokenized parquet)."""
+        import uuid as _uuid
+
+        import ray.data as rd
+
+        tokenized_dir = self._tokenized_dir()
+
+        def write_part(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n:
+                out = batch.select(["doc_id", "url", "doc_len", "terms", "tfs"])
+                atomic_write_table(
+                    os.path.join(
+                        tokenized_dir, f"part-{_uuid.uuid4().hex}.parquet"
+                    ),
+                    out,
+                )
+                sdl = int(
+                    np.sum(
+                        batch["doc_len"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64,
+                    )
+                )
+            else:
+                sdl = 0
+            return pa.table(
+                {
+                    "num_rows": pa.array([n], type=pa.int64()),
+                    "sum_doc_len": pa.array([sdl], type=pa.int64()),
+                }
+            )
+
+        infos = tok.map_batches(write_part, batch_format="pyarrow").take_all()
+        num_docs = int(sum(i["num_rows"] for i in infos))
+        total = int(sum(i["sum_doc_len"] for i in infos))
+        if num_docs == 0:
+            atomic_write_table(
+                os.path.join(self._doc_table_dir(), "part-000000.parquet"),
+                _EMPTY_DOC_TABLE.empty_table(),
+            )
+            atomic_write_table(
+                os.path.join(tokenized_dir, "part-000000.parquet"),
+                _EMPTY_TOKENIZED.empty_table(),
+            )
+        else:
+            self._hash_mode_doc_table(
+                rd.read_parquet(
+                    tokenized_dir, columns=["doc_id", "url", "doc_len"]
+                )
+            )
+        stats = CollectionStats(num_docs, total, total / num_docs if num_docs else 0.0)
+        stats.save(self.index_dir)
+        self._stamped_refs = None  # segments stage reads the checkpoint
+        self.manifest.mark_complete(
+            "tokenized",
+            path=tokenized_dir,
+            checkpointed=True,
+            num_blocks=len(infos),
+        )
+        self.manifest.mark_complete("stats", num_docs=num_docs, total_tokens=total)
+        self.manifest.mark_complete("doc_table", num_docs=num_docs)
+        return stats
+
+    def _hash_mode_doc_table(self, slim) -> None:
         """Hash mode: sort the SLIM (doc_id, url, doc_len) projection by
         doc_id (the only sort in the build, over ~30 B/doc), write it as
         zero-padded positional part files, and fail loudly on duplicate
@@ -383,11 +479,7 @@ class IndexBuilder:
         ~27k collisions are expected, so silent merging is not an option;
         ADVICE r1). Driver state stays O(#blocks) (boundary keys)."""
         import ray
-        import ray.data as rd
 
-        slim = rd.from_arrow_refs(stamped_refs).select_columns(
-            ["doc_id", "url", "doc_len"]
-        )
         mat = slim.sort("doc_id").materialize()
         refs = []
         for bundle in mat.iter_internal_ref_bundles():
@@ -506,6 +598,28 @@ class IndexBuilder:
         lex.map_batches(finish, batch_format="pyarrow").sort("term").write_parquet(
             self._lexicon_dir()
         )
+        # empty corpus: write_parquet on 0 rows creates no files at all, so
+        # QueryEngine's Lexicon would die on a missing dir — keep the index
+        # openable with a typed zero-row part file (ADVICE r2), mirroring
+        # the doc_table/tokenized empty handling in _run_prepare
+        if stats.num_docs == 0:
+            os.makedirs(self._lexicon_dir(), exist_ok=True)
+            if not any(
+                f.endswith(".parquet") for f in os.listdir(self._lexicon_dir())
+            ):
+                atomic_write_table(
+                    os.path.join(self._lexicon_dir(), "part-000000.parquet"),
+                    _EMPTY_LEXICON.empty_table(),
+                )
+            from invertedindex_ray.stages.segment import STATS_SCHEMA
+
+            segstats_dir = os.path.join(self.index_dir, "segstats")
+            os.makedirs(segstats_dir, exist_ok=True)
+            if not any(f.endswith(".parquet") for f in os.listdir(segstats_dir)):
+                atomic_write_table(
+                    os.path.join(segstats_dir, "bucket=empty.parquet"),
+                    STATS_SCHEMA.empty_table(),
+                )
 
     def _run_segments_and_lexicon(self, stats: CollectionStats) -> None:
         seg_done = self.manifest.stage_complete("segments")
@@ -525,9 +639,30 @@ class IndexBuilder:
         self._finish_lexicon(seg_stats, stats)
         import ray.data as rd
 
-        n_entries = rd.read_parquet(
-            os.path.join(self.index_dir, "segstats")
-        ).count() if os.path.isdir(os.path.join(self.index_dir, "segstats")) else 0
+        n_entries = 0
+        if os.path.isdir(os.path.join(self.index_dir, "segstats")):
+            from ray.data.aggregate import Count, Sum
+
+            seg = rd.read_parquet(os.path.join(self.index_dir, "segstats"))
+            agg = seg.aggregate(Count(), Sum("cf", alias_name="cf_total"))
+            n_entries = int(agg.get("count()", 0) or 0)
+            cf_total = int(agg.get("cf_total", 0) or 0)
+            # Token-conservation guard (ADVICE r2): sum(cf) over the
+            # segment sidecars must equal the prepare stage's token count.
+            # write_segment_block assumes a sort-reduce block holds WHOLE
+            # buckets (true on Ray 2.49, but a Ray internal); if a future
+            # Ray splits a bucket across blocks, the second slice hits
+            # SegmentWriter's resume path and its postings silently
+            # vanish — this equality breaks loudly instead.
+            if cf_total != stats.total_tokens:
+                raise RuntimeError(
+                    f"segment postings lost or duplicated: sum(cf) over "
+                    f"segstats is {cf_total} but the corpus has "
+                    f"{stats.total_tokens} tokens. A shuffle bucket was "
+                    "likely split across sort-output blocks (the "
+                    "write_segment_block whole-bucket assumption); delete "
+                    "segments/ + segstats/ and rebuild"
+                )
         self.manifest.mark_complete("segments", segment_entries=n_entries)
         self.manifest.mark_complete("lexicon")
 

