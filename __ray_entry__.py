@@ -213,6 +213,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).range_join_counts(sf),
+        # --- skew-proof (user, time-bucket) twins: no whale-key contract ---
+        "sessionize_scalable": lambda sf: __import__(
+            "invertedindex_ray.pipelines.skewsafe", fromlist=["x"]
+        ).sessionize_scalable(sf),
+        "late_events_scalable": lambda sf: __import__(
+            "invertedindex_ray.pipelines.skewsafe", fromlist=["x"]
+        ).late_events_scalable(sf),
+        "asof_join_scalable": lambda sf: __import__(
+            "invertedindex_ray.pipelines.skewsafe", fromlist=["x"]
+        ).asof_join_events_scalable(sf),
+        "range_join_scalable": lambda sf: __import__(
+            "invertedindex_ray.pipelines.skewsafe", fromlist=["x"]
+        ).range_join_counts_scalable(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -636,7 +649,7 @@ FROM est WHERE j >= 0.5
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
@@ -917,3 +930,9 @@ FROM g GROUP BY user_id, sid
             "(26 + strlen(text))::BIGINT AS n_bytes, 'text/html' AS kind FROM documents"
         ),
     }
+    # The skew-proof (user, time-bucket) twins in pipelines/skewsafe.py are
+    # result-identical to the plain per-user operators, so they share the
+    # plain operators' SQL mirrors verbatim.
+    for op in ("sessionize", "late_events", "asof_join", "range_join"):
+        sql[op + "_scalable"] = sql[op]
+    return sql

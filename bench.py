@@ -199,9 +199,14 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
     if "dedup_minhash" in components:
         from invertedindex_ray.pipelines.dedup import minhash_lsh_pairs
 
+        # .count() drives the FULL pipeline (bands, buckets, pair dedupe,
+        # verification joins). Rounds 1-2 timed only the eager signature
+        # prefix — the candidate stages were lazy and never executed — so
+        # r3 numbers are not comparable to the (underscoped) r1/r2 ones.
         t0 = time.time()
-        minhash_lsh_pairs(sf_dir)
+        n_pairs = minhash_lsh_pairs(sf_dir).count()
         queries["dedup_minhash"] = round(time.time() - t0, 3)
+        detail["dedup_minhash_pairs"] = int(n_pairs)
 
     if "ann" in components:
         from invertedindex_ray.pipelines.similarity import ann_topk

@@ -42,6 +42,15 @@ logger = logging.getLogger("invertedindex_ray.dedup")
 _SPLIT = r"[^a-z0-9]+"
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants) —
+    a collision-resistant uint64 mix used for LSH bucket keys."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _pair_join_partitions(n_rows: int) -> int:
     """Hash-join fan-out for the pair-verification joins, derived from
     DATA SIZE (left-side row count) — never from the cluster: a
@@ -301,21 +310,30 @@ def minhash_lsh_pairs(
         flat = np.frombuffer(b"".join(sig_col.to_pylist()), dtype="<i8").reshape(
             n, num_perm
         )
-        band_ids, band_hashes, doc_ids = [], [], []
+        # bucket key = vectorized splitmix64 chain over the band's slots.
+        # The key only has to be a collision-resistant function of the
+        # slot VALUES (the oracle and the verification step both work on
+        # raw slot equality; a key collision merely adds a candidate that
+        # the slot-agreement filter re-checks) — the per-row Python md5
+        # this replaces was 16 hash calls per doc and dominated the whole
+        # pipeline at bench scale.
+        u = flat.view(np.uint64)
+        keys = np.empty((bands, n), dtype=np.uint64)
         for b in range(bands):
-            seg = np.ascontiguousarray(flat[:, b * rows_per_band : (b + 1) * rows_per_band])
-            for i in range(n):
-                h = hashlib.md5(seg[i].tobytes()).digest()[:8]
-                band_hashes.append(int.from_bytes(h, "big") >> 1)
-            band_ids.extend([b] * n)
-            doc_ids.extend(ids.tolist())
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = _mix64(h ^ u[:, b * rows_per_band + j])
+            keys[b] = h
         return pa.table(
             {
-                "band": pa.array(np.asarray(band_ids, dtype=np.int32), type=pa.int32()),
-                "band_hash": pa.array(
-                    np.asarray(band_hashes, dtype=np.int64), type=pa.int64()
+                "band": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n), type=pa.int32()
                 ),
-                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64), type=pa.int64()),
+                "band_hash": pa.array(
+                    (keys.reshape(-1) >> np.uint64(1)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
             }
         )
 

@@ -37,11 +37,10 @@ def guard_group_rows(op: str, key, n_rows: int, max_rows: int) -> None:
         raise ValueError(
             f"{op}: key {key!r} has {n_rows} rows, above the per-task "
             f"bound of {max_rows}. One key's rows must fit one task. "
-            "Remediations: pre-filter/sample the whale key, raise "
-            "max_group_rows if worker heap allows, or split the key by "
-            "time range and merge the per-range results (the right-side "
-            "state of these operators is associative across sorted time "
-            "slices)."
+            "Remediations: switch to the result-identical skew-proof "
+            "twin in pipelines/skewsafe.py (partitions by (user, "
+            "time-bucket), no per-key bound), pre-filter/sample the "
+            "whale key, or raise max_group_rows if worker heap allows."
         )
 
 
