@@ -127,6 +127,13 @@ def _materialized_nonempty(ds, schema: pa.Schema):
     return rd.from_arrow_refs(refs), n
 
 
+def _rd_empty(schema: pa.Schema):
+    """A one-block dataset holding a typed empty table."""
+    import ray.data as rd
+
+    return rd.from_arrow(schema.empty_table())
+
+
 def _read_docs(sf_dir: str):
     import ray.data as rd
 
@@ -234,6 +241,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    broadcast_max_pairs: int = 20_000,
 ):
     """(doc_a, doc_b, est_jaccard_r) candidate near-dup pairs, fully
     distributed:
@@ -246,8 +254,16 @@ def minhash_lsh_pairs(
     3. groupby(band, band_hash) emits candidate (doc_a, doc_b) pairs
        (pathological boilerplate buckets capped, logged via bucket_cap);
     4. pair dedupe via a distributed groupby — never driver pandas;
-    5. hash-join the signatures back (twice) and keep pairs whose
-       slot-agreement fraction >= threshold.
+    5. verification — adaptive on the MEASURED candidate count:
+       - ``<= broadcast_max_pairs``: the candidate docs' signatures
+         (bounded: <= 2 x pairs rows x ~0.5 KB) are gathered once and
+         ``ray.put`` as a broadcast lookup; one map_batches over the
+         pair rows verifies with NO shuffle at all — the classic
+         broadcast join for a small side;
+       - larger: two hash-joins of the slim pair rows against the
+         signature table, fan-out a pure function of the pair count.
+       Both paths keep pairs whose slot-agreement fraction >= threshold
+       and produce identical rows (output order unspecified).
 
     Estimated Jaccard = fraction of agreeing signature slots; no raw text
     ever shuffles. Every stage is a bounded-width shuffle.
@@ -367,10 +383,67 @@ def minhash_lsh_pairs(
         cand_schema,
     )  # slim 24 B pair rows, empty blocks dropped (join-safe)
 
-    # verification: join each side's signature back (hash shuffle join of
-    # slim pair rows against the one-row-per-doc signature table); the
-    # fan-out is a pure function of the candidate count, so the physical
-    # plan is identical at any cluster size
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard_r", pa.float64())]
+    )
+
+    def _verify_rows(doc_a, doc_b, ma, mb):
+        jac = (ma == mb).mean(axis=1)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep], type=pa.int64()),
+                "doc_b": pa.array(doc_b[keep], type=pa.int64()),
+                "est_jaccard_r": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            }
+        )
+
+    if n_cand <= broadcast_max_pairs:
+        # broadcast verification: gather ONLY the candidate docs'
+        # signatures (<= 2 x n_cand rows, bounded by broadcast_max_pairs)
+        # and ship them once via ray.put — every pair batch verifies
+        # locally, no shuffle. take_all here is a declared bounded
+        # small-side gather, not a whole-dataset materialization.
+        import ray
+
+        pair_rows = cand.select_columns(["doc_a", "doc_b"]).take_all()
+        if not pair_rows:
+            return _rd_empty(out_schema)
+        doc_a = np.array([r["doc_a"] for r in pair_rows], dtype=np.int64)
+        doc_b = np.array([r["doc_b"] for r in pair_rows], dtype=np.int64)
+        need = set(doc_a.tolist()) | set(doc_b.tolist())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter((int(i) in need for i in ids), bool, len(ids))
+            return batch.filter(pa.array(keep))
+
+        sig_map = {}
+        for r in sigs.map_batches(pick, batch_format="pyarrow").take_all():
+            sig_map[int(r["doc_id"])] = r["sig"]
+        ref = ray.put(sig_map)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return out_schema.empty_table()
+            sm = ray.get(ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            ma = np.frombuffer(
+                b"".join(sm[int(i)] for i in a), dtype="<i8"
+            ).reshape(n, num_perm)
+            mb = np.frombuffer(
+                b"".join(sm[int(i)] for i in b), dtype="<i8"
+            ).reshape(n, num_perm)
+            return _verify_rows(a, b, ma, mb)
+
+        return cand.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # large candidate set: hash shuffle join of slim pair rows against the
+    # one-row-per-doc signature table (both sides exchange); the fan-out
+    # is a pure function of the candidate count, so the physical plan is
+    # identical at any cluster size
     nparts = _pair_join_partitions(n_cand)
     j = cand.join(
         sigs, join_type="inner", num_partitions=nparts,
@@ -383,31 +456,21 @@ def minhash_lsh_pairs(
     def verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {"doc_a": pa.array([], type=pa.int64()),
-                 "doc_b": pa.array([], type=pa.int64()),
-                 "est_jaccard_r": pa.array([], type=pa.float64())}
-            )
+            return out_schema.empty_table()
         ma = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype="<i8").reshape(
             n, num_perm
         )
         mb = np.frombuffer(
             b"".join(batch["sig_b"].to_pylist()), dtype="<i8"
         ).reshape(n, num_perm)
-        jac = (ma == mb).mean(axis=1)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
-                "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
-                "est_jaccard_r": pa.array(
-                    np.round(jac[keep], 6), type=pa.float64()
-                ),
-            }
+        return _verify_rows(
+            batch["doc_a"].to_numpy(zero_copy_only=False),
+            batch["doc_b"].to_numpy(zero_copy_only=False),
+            ma,
+            mb,
         )
 
-    out = j.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
-    return out
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- exact ngram jaccard

@@ -58,11 +58,21 @@ class TestDedup:
         tasks.)"""
         import invertedindex_ray.pipelines.dedup as dd
 
-        base = _pdf(dd.minhash_lsh_pairs(SF, threshold=0.5))
+        def srt(df):
+            return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+        # broadcast_max_pairs=0 forces the hash-join verification path
+        # (the default broadcast path would never reach the join)
+        base = srt(_pdf(dd.minhash_lsh_pairs(SF, threshold=0.5,
+                                             broadcast_max_pairs=0)))
         monkeypatch.setattr(dd, "_pair_join_partitions", lambda n: 8)
-        forced = _pdf(dd.minhash_lsh_pairs(SF, threshold=0.5))
-        assert base.reset_index(drop=True).equals(forced.reset_index(drop=True))
+        forced = srt(_pdf(dd.minhash_lsh_pairs(SF, threshold=0.5,
+                                               broadcast_max_pairs=0)))
+        assert base.equals(forced)
         assert len(forced) > 0
+        # and the default broadcast path must agree with the join path
+        bcast = srt(_pdf(dd.minhash_lsh_pairs(SF, threshold=0.5)))
+        assert base.equals(bcast)
 
     def test_join_partitions_derived_from_data_size(self):
         """The join fan-out is a pure function of row count (VERDICT r2
