@@ -133,6 +133,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from invertedindex_ray.pipelines import (
         analytics,
+        curation,
         dedup,
         multimodal,
         similarity,
@@ -226,6 +227,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_scalable": lambda sf: __import__(
             "invertedindex_ray.pipelines.skewsafe", fromlist=["x"]
         ).range_join_counts_scalable(sf),
+        # --- corpus curation (training-data hygiene) ---
+        "pii_redact": lambda sf: curation.pii_redact(sf),
+        "normalize_text": lambda sf: curation.normalize_text(sf),
+        "stratified_sample": lambda sf: curation.stratified_sample(sf),
+        "source_stats": lambda sf: curation.source_stats(sf),
+        "contamination_check": lambda sf: curation.contamination_check(sf),
+        "top_keywords": lambda sf: curation.top_keywords(sf),
         # --- multimodal plumbing ---
         "binary_metadata": lambda sf: multimodal.binary_metadata(sf),
         "decode_features": lambda sf: multimodal.decode_features(sf),
@@ -930,6 +938,78 @@ FROM g GROUP BY user_id, sid
             "(26 + strlen(text))::BIGINT AS n_bytes, 'text/html' AS kind FROM documents"
         ),
     }
+    # --- corpus curation mirrors (patterns/rates imported from the
+    # pipeline module so SQL and Ray can never drift) ---
+    from invertedindex_ray.pipelines.curation import (
+        DEFAULT_PERMILLE,
+        DEFAULT_RATES,
+        PII_PATTERNS,
+    )
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = {name: r for name, _, r in PII_PATTERNS}
+    sql["pii_redact"] = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{pats["email"]}', '{repl["email"]}', 'g'),
+           '{pats["phone"]}', '{repl["phone"]}', 'g'),
+           '{pats["ip"]}', '{repl["ip"]}', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{pats["email"]}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{pats["phone"]}'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '{pats["ip"]}'))::BIGINT AS n_ip
+FROM documents
+"""
+    sql["normalize_text"] = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+       strlen(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT
+         AS n_norm_chars
+FROM documents
+"""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(DEFAULT_RATES.items())
+    )
+    sql["stratified_sample"] = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE (md5_number_lower(doc_id::VARCHAR) >> 1) % 1000 <
+      CASE {cases} ELSE {DEFAULT_PERMILLE} END
+"""
+    sql["source_stats"] = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_sum,
+       round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars_r,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
+"""
+    sql["contamination_check"] = """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) >> 1)::BIGINT AS h
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i) s
+  WHERE len(a) >= 3
+),
+bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+d AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0)
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_grams,
+       count(bg.h)::BIGINT AS n_overlap,
+       (count(bg.h) >= 0.2 * count(*))::BIGINT AS contaminated
+FROM d LEFT JOIN bg USING (h) GROUP BY d.doc_id
+"""
+    sql["top_keywords"] = f"""
+WITH t AS ({sql["tfidf_scores"]}),
+r AS (
+  SELECT doc_id, term, tfidf_r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rn
+  FROM t
+)
+SELECT doc_id, term, tfidf_r, rn::BIGINT AS rank FROM r WHERE rn <= 5
+"""
     # The skew-proof (user, time-bucket) twins in pipelines/skewsafe.py are
     # result-identical to the plain per-user operators, so they share the
     # plain operators' SQL mirrors verbatim.

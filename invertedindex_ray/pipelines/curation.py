@@ -1,0 +1,386 @@
+"""Corpus-curation operators for a training-data pipeline: PII
+redaction, text normalization, stratified sampling, per-source
+aggregation, benchmark-contamination checking, and per-doc keyword
+extraction.
+
+Each operator is a streaming ``map_batches`` / small-groupby pipeline
+with an exact DuckDB SQL mirror (see ``__ray_entry__.oracle_sql``):
+regexes are RE2 on both engines, hashes go through
+:func:`invertedindex_ray.functions.hashing.md5_hash63` (bit-identical
+to ``(md5_number_lower(s) >> 1)::BIGINT``), and rounding matches the
+oracle's ``round(x, 6)``.
+
+Scale notes: redaction/normalization/sampling are shuffle-free Arrow
+kernel maps; source_stats pre-aggregates per batch before one tiny
+groupby over (source, lang) rows; contamination broadcasts the
+benchmark's n-gram hash set once via ``ray.put`` (the benchmark side is
+small by definition) so the corpus side streams with no shuffle; the
+keyword extractor scores and selects inside one pass over the tokenized
+corpus — a doc's postings never leave their batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindex_ray.functions.hashing import md5_hash63
+
+# PII patterns, applied in THIS order (counts are taken on the original
+# text; replacements are sequential). RE2 syntax — valid for both
+# pyarrow.compute and DuckDB's regexp_* functions.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+)
+
+_NORM_PATTERN = "[^a-z0-9]+"
+
+#: Default strata for :func:`stratified_sample` — over-sample src0,
+#: drop src1, keep everything else at DEFAULT_PERMILLE.
+DEFAULT_RATES: dict[str, int] = {"src0": 500, "src1": 0}
+DEFAULT_PERMILLE = 100
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _str_col(batch: pa.Table, name: str) -> pa.Array:
+    col = batch[name]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    import pyarrow.compute as pc
+
+    return pc.coalesce(col, "")
+
+
+# ------------------------------------------------------------ pii redact
+
+
+def pii_redact(sf_dir: str):
+    """(doc_id, clean_text, n_email, n_phone, n_ip): redact emails, phone
+    numbers and IPv4 addresses from ``text``. Counts are per-pattern
+    matches in the ORIGINAL text; replacements apply sequentially in
+    :data:`PII_PATTERNS` order. Pure Arrow regex kernels — shuffle-free,
+    zero Python per row."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = _str_col(batch, "text")
+        counts = {
+            name: pc.count_substring_regex(text, pat)
+            .cast(pa.int64())
+            for name, pat, _ in PII_PATTERNS
+        }
+        clean = text
+        for _, pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_email": counts["email"],
+                "n_phone": counts["phone"],
+                "n_ip": counts["ip"],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- normalize text
+
+
+def normalize_text(sf_dir: str):
+    """(doc_id, norm_text, n_norm_chars): lowercase, collapse every
+    non-alphanumeric run to one space, trim. The canonical text-cleaning
+    step before tokenization/shingling; one Arrow kernel chain."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = _str_col(batch, "text")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(text), _NORM_PATTERN, " ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "n_norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------- stratified sampling
+
+
+def stratified_sample(
+    sf_dir: str,
+    *,
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = DEFAULT_PERMILLE,
+):
+    """Deterministic per-source hash sampling: keep a doc iff
+    ``md5_hash63(doc_id) % 1000 < rate(source)``. The per-source rate map
+    is how a curation pipeline over-samples rare high-quality sources and
+    down-samples boilerplate-heavy ones; same hash as ``sample_docs`` so
+    strata nest (a doc kept at rate r is kept at every rate >= r) and
+    membership is stable across runs and cluster sizes."""
+    rates = dict(DEFAULT_RATES if rates_permille is None else rates_permille)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        h = md5_hash63([str(int(i)) for i in ids]).astype(np.uint64)
+        rate = np.fromiter(
+            (rates.get(s, default_permille) for s in src), dtype=np.int64, count=len(src)
+        )
+        keep = (h % np.uint64(1000)).astype(np.int64) < rate
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------- source stats
+
+
+def source_stats(sf_dir: str):
+    """(source, n_docs, n_chars_sum, avg_chars_r, n_langs): per-source
+    corpus composition. Pre-aggregated to one (source, lang) row per
+    batch BEFORE the groupby, so the shuffle moves O(sources x langs)
+    rows, never O(docs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n_docs_p": g["n_chars_count"].cast(pa.int64()),
+                "n_chars_p": g["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from invertedindex_ray.functions.rounding import round_half_up
+
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_chars_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(nd, type=pa.int64()),
+                "n_chars_sum": pa.array(nc, type=pa.int64()),
+                "avg_chars_r": pa.array(
+                    round_half_up(nc / nd, 6), type=pa.float64()
+                ),
+                "n_langs": batch["n_langs"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs_p", alias_name="n_docs_sl"),
+            Sum("n_chars_p", alias_name="n_chars_sl"),
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs_sl", alias_name="n_docs"),
+            Sum("n_chars_sl", alias_name="n_chars_sum"),
+            Count(alias_name="n_langs"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------- contamination check
+
+
+def _doc_gram_hashes(texts, k: int) -> list[np.ndarray]:
+    """Distinct word-k-gram md5 hashes per doc — the same split +
+    ``md5_hash63`` used by the winnowing oracle, so grams mirror
+    ``(md5_number_lower(w1 || ' ' || ... || wk) >> 1)::BIGINT``."""
+    import re
+
+    splitter = re.compile(_NORM_PATTERN)
+    out = []
+    for t in texts:
+        words = [w for w in splitter.split((t or "").lower()) if w]
+        if len(words) < k:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        out.append(np.unique(md5_hash63(grams)))
+    return out
+
+
+def contamination_check(
+    sf_dir: str,
+    *,
+    gram_k: int = 3,
+    bench_mod: int = 97,
+    tau: float = 0.2,
+):
+    """(doc_id, n_grams, n_overlap, contaminated): flag corpus docs whose
+    distinct word-``gram_k``-gram overlap with a benchmark set reaches
+    ``tau`` — the decontamination step every training-data pipeline runs
+    before an eval release. The "benchmark" here is the deterministic
+    subset ``doc_id % bench_mod == 0`` (stand-in for an external eval
+    set); benchmark docs themselves are excluded from the output, as are
+    docs with no grams (fewer than ``gram_k`` words).
+
+    The benchmark's gram-hash set is gathered once (small by definition
+    — it is an eval set, not the corpus) and broadcast via ``ray.put``;
+    the corpus side then streams through one shuffle-free map_batches
+    doing a sorted ``searchsorted`` membership test per doc."""
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % bench_mod) == 0
+        hs = _doc_gram_hashes(
+            [t for t, k in zip(batch["text"].to_pylist(), keep) if k], gram_k
+        )
+        flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.int64)
+        return pa.table({"h": pa.array(flat, type=pa.int64())})
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_grams, batch_format="pyarrow"
+    )
+    # bounded gather: per-batch-distinct benchmark gram hashes only
+    bench = np.unique(
+        np.array([r["h"] for r in parts.take_all()], dtype=np.int64)
+    )
+    ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        keep = (ids % bench_mod) != 0
+        out_id, out_n, out_ov = [], [], []
+        for d, t, k in zip(ids, texts, keep):
+            if not k:
+                continue
+            hs = _doc_gram_hashes([t], gram_k)[0]
+            if len(hs) == 0:
+                continue
+            idx = np.searchsorted(bg, hs)
+            idx[idx == len(bg)] = 0
+            ov = int((bg[idx] == hs).sum()) if len(bg) else 0
+            out_id.append(int(d))
+            out_n.append(len(hs))
+            out_ov.append(ov)
+        n = np.asarray(out_n, dtype=np.int64)
+        ov = np.asarray(out_ov, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64), type=pa.int64()),
+                "n_grams": pa.array(n, type=pa.int64()),
+                "n_overlap": pa.array(ov, type=pa.int64()),
+                "contaminated": pa.array(
+                    (ov >= tau * n).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------ keyword extract
+
+
+def top_keywords(sf_dir: str, *, k: int = 5):
+    """(doc_id, term, tfidf_r, rank): the k highest-TF-IDF terms per doc
+    (ties broken by term ascending) — per-doc keyword tagging for search
+    or clustering. Reuses the SQL-checked tfidf machinery
+    (:func:`analytics.tfidf_scores`), but scores AND selects inside one
+    pass over the tokenized corpus: each tokenized row is a whole doc, so
+    the per-doc top-k never needs a shuffle."""
+    import math
+
+    import ray
+
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.analytics import (
+        NOSTEM,
+        _explode_batch,
+        _tokenized,
+        collection_stats,
+        lexicon,
+    )
+
+    stats = collection_stats(sf_dir)
+    n_docs = int(stats["num_docs"][0].as_py())
+    lex = lexicon(sf_dir).select_columns(["term", "df"]).take_all()
+    df_ref = ray.put({r["term"]: int(r["df"]) for r in lex})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _explode_batch(batch)
+        dfm = ray.get(df_ref)
+        term = t["term"]
+        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
+        d = pc.dictionary_encode(term)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idf_u = np.fromiter(
+            (math.log(n_docs / dfm[tm]) for tm in d.dictionary.to_pylist()),
+            dtype=np.float64,
+            count=len(d.dictionary),
+        )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(tf, return_inverse=True)
+        logtf = np.fromiter(
+            (math.log(int(v)) for v in uniq), dtype=np.float64, count=len(uniq)
+        )
+        s = round_half_up(idf_u[codes] * (1.0 + logtf[inv]), 6)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(term.to_pylist(), dtype=object)
+        # rows arrive doc-contiguous (explode of one row per doc); select
+        # per-doc top-k on (score desc, term asc) with one lexsort
+        order = np.lexsort((terms, -s, doc))
+        doc_o, s_o, term_o = doc[order], s[order], terms[order]
+        boundary = np.concatenate(([True], doc_o[1:] != doc_o[:-1]))
+        starts = np.flatnonzero(boundary)
+        lens = np.diff(np.append(starts, len(doc_o)))
+        rank = np.arange(len(doc_o), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_o[keep], type=pa.int64()),
+                "term": pa.array(term_o[keep].tolist(), type=pa.string()),
+                "tfidf_r": pa.array(s_o[keep], type=pa.float64()),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+            }
+        )
+
+    return _tokenized(sf_dir, NOSTEM).map_batches(pick, batch_format="pyarrow")

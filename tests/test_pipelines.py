@@ -387,3 +387,89 @@ class TestRelational:
                 assert np.isnan(r.prior_value) or r.prior_value is None, r.event_id
             else:
                 assert r.prior_value == want, r.event_id
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCuration:
+    def test_pii_redact_counts_and_clean(self):
+        import re
+
+        from invertedindex_ray.pipelines.curation import PII_PATTERNS, pii_redact
+
+        df = _pdf(pii_redact(SF))
+        assert len(df) == 500
+        pats = {name: re.compile(pat) for name, pat, _ in PII_PATTERNS}
+        # redacted text contains no surviving matches of any pattern
+        for col, name in (("n_email", "email"), ("n_phone", "phone"), ("n_ip", "ip")):
+            assert (df[col] >= 0).all()
+            assert not df["clean_text"].str.contains(pats[name], regex=True).any()
+        # spot-check counts against Python re on a sample of originals
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        m = df.merge(texts, on="doc_id").head(50)
+        for _, r in m.iterrows():
+            assert r.n_email == len(pats["email"].findall(r.text or ""))
+
+    def test_normalize_text_alphabet(self):
+        from invertedindex_ray.pipelines.curation import normalize_text
+
+        df = _pdf(normalize_text(SF))
+        assert len(df) == 500
+        ok = df["norm_text"].str.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?")
+        assert ok.all()
+        assert (df["n_norm_chars"] == df["norm_text"].str.len()).all()
+
+    def test_stratified_sample_rates_and_nesting(self):
+        from invertedindex_ray.pipelines.curation import stratified_sample
+
+        df = _pdf(stratified_sample(SF))
+        assert (df.groupby("source").size().index != "src1").all()  # rate 0
+        # determinism + nesting: a lower uniform rate is a subset
+        lo = _pdf(stratified_sample(SF, rates_permille={}, default_permille=50))
+        hi = _pdf(stratified_sample(SF, rates_permille={}, default_permille=200))
+        assert set(lo.doc_id) <= set(hi.doc_id)
+        again = _pdf(stratified_sample(SF))
+        assert sorted(again.doc_id) == sorted(df.doc_id)
+
+    def test_source_stats_matches_pandas(self):
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import source_stats
+
+        got = _pdf(source_stats(SF)).sort_values("source").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "lang", "n_chars"]).to_pandas()
+        g = docs.groupby("source")
+        want_docs = g.size()
+        want_chars = g.n_chars.sum()
+        want_langs = g.lang.nunique()
+        for _, r in got.iterrows():
+            assert r.n_docs == want_docs[r.source]
+            assert r.n_chars_sum == want_chars[r.source]
+            assert r.n_langs == want_langs[r.source]
+            assert abs(r.avg_chars_r - r.n_chars_sum / r.n_docs) < 1e-6
+
+    def test_contamination_semantics(self):
+        from invertedindex_ray.pipelines.curation import contamination_check
+
+        df = _pdf(contamination_check(SF))
+        # benchmark docs (doc_id % 97 == 0) are excluded from the output
+        assert not (df.doc_id % 97 == 0).any()
+        assert ((df.contaminated == 1) == (df.n_overlap >= 0.2 * df.n_grams)).all()
+        assert (df.n_overlap <= df.n_grams).all()
+        assert df.contaminated.sum() > 0  # synthetic corpus has known dupes
+
+    def test_top_keywords_rank_contract(self):
+        from invertedindex_ray.pipelines.curation import top_keywords
+
+        df = _pdf(top_keywords(SF))
+        g = df.groupby("doc_id")
+        assert (g["rank"].max() <= 5).all()
+        assert (g["rank"].min() == 1).all()
+        # within a doc, rank order == (tfidf desc, term asc)
+        for _, grp in list(g)[:25]:
+            s = grp.sort_values("rank")
+            pairs = list(zip(-s.tfidf_r, s.term))
+            assert pairs == sorted(pairs)

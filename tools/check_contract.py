@@ -2,7 +2,8 @@
 entry and its oracle_sql() twin on the same sf dir, compare row count,
 schema (column names) and order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+(with query names given, only those entries are checked)
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -57,6 +58,8 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -102,7 +105,7 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    rc = main(sf, only=sys.argv[2:] or None)
     import ray
 
     ray.shutdown()
