@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: textstats.lang_id(sf),
         "fingerprint_md5": lambda sf: textstats.fingerprint_md5(sf),
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
+        "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -836,6 +837,50 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tstats t USING (doc_id)
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "repetition_stats": """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(a) AS w FROM tk) GROUP BY doc_id, w
+),
+ws AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_unique_words,
+         max(c)::BIGINT AS max_wc
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c
+  FROM (
+    SELECT doc_id, a[i] || ' ' || a[i + 1] AS b
+    FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) s
+    WHERE len(a) >= 2
+  ) GROUP BY doc_id, b
+),
+bs AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, count(*)::BIGINT AS n_unique_bigrams,
+         max(c)::BIGINT AS max_bc
+  FROM bc GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       coalesce(ws.n_words, 0)::BIGINT AS n_words,
+       coalesce(ws.n_unique_words, 0)::BIGINT AS n_unique_words,
+       CASE WHEN coalesce(ws.n_words, 0) > 0
+            THEN round(ws.max_wc::DOUBLE / ws.n_words, 6) ELSE 0.0
+       END AS top_word_ratio_r,
+       coalesce(bs.n_bigrams, 0)::BIGINT AS n_bigrams,
+       CASE WHEN coalesce(bs.n_bigrams, 0) > 0
+            THEN round(1.0 - bs.n_unique_bigrams::DOUBLE / bs.n_bigrams, 6) ELSE 0.0
+       END AS dup_bigram_ratio_r,
+       CASE WHEN coalesce(bs.n_bigrams, 0) > 0
+            THEN round(bs.max_bc::DOUBLE / bs.n_bigrams, 6) ELSE 0.0
+       END AS top_bigram_ratio_r
+FROM tk LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+""",
         "top_terms": """
 WITH tk AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w

@@ -213,3 +213,104 @@ def winnow_fingerprints(sf_dir: str, *, kgram: int = 5, window: int = 4):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, n_words, n_unique_words, top_word_ratio_r, n_bigrams,
+    dup_bigram_ratio_r, top_bigram_ratio_r): Gopher-style repetition
+    signals (Rae et al. 2021 §A1.1) — the fraction of the doc taken by
+    its most-frequent word, and how much of the bigram stream is
+    repeats. Training-data filters drop docs whose top-word or
+    duplicate-bigram fraction is pathologically high (boilerplate,
+    keyword stuffing, template spam).
+
+    One shuffle-free pass; per-batch work is fully vectorized: words
+    across the whole batch are integer-coded once (pandas ``factorize``,
+    a C hash table), then per-(doc, word) and per-(doc, bigram) counts
+    come from ``np.unique`` on composite int64 keys and per-doc
+    maxima/counts from ``np.maximum.reduceat`` over the sorted groups.
+    Ratios are 0.0 for degenerate docs (no words / no bigrams), matching
+    the SQL mirror's CASE arms."""
+    import re as _re
+
+    import pandas as pd
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    splitter = _re.compile(r"[^a-z0-9]+")
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        words_per_doc = [
+            [w for w in splitter.split((t or "").lower()) if w] for t in texts
+        ]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+        n_words = lens
+        n_bigrams = np.maximum(lens - 1, 0)
+
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for ws in words_per_doc:
+            flat[pos : pos + len(ws)] = ws
+            pos += len(ws)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        n_unique_w = np.zeros(n, dtype=np.int64)
+        max_wc = np.zeros(n, dtype=np.int64)
+        n_unique_b = np.zeros(n, dtype=np.int64)
+        max_bc = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            codes, uniques = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            K = np.int64(len(uniques) + 1)
+
+            def seg_stats(keys: np.ndarray, docs: np.ndarray, div: np.int64):
+                """per-doc (#distinct keys, max key multiplicity)"""
+                uk, counts = np.unique(keys, return_counts=True)
+                d = (uk // div).astype(np.int64)
+                nu = np.bincount(d, minlength=n)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], d[1:] != d[:-1]))
+                )
+                mx = np.zeros(n, dtype=np.int64)
+                if len(starts):
+                    mx[d[starts]] = np.maximum.reduceat(counts, starts)
+                return nu, mx
+
+            n_unique_w, max_wc = seg_stats(doc_idx * K + codes, doc_idx, K)
+            bmask = doc_idx[1:] == doc_idx[:-1]
+            if bmask.any():
+                bkey = (
+                    doc_idx[:-1][bmask] * (K * K)
+                    + codes[:-1][bmask] * K
+                    + codes[1:][bmask]
+                )
+                n_unique_b, max_bc = seg_stats(bkey, doc_idx[:-1][bmask], K * K)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top_w = np.where(n_words > 0, max_wc / np.maximum(n_words, 1), 0.0)
+            dup_b = np.where(
+                n_bigrams > 0, 1.0 - n_unique_b / np.maximum(n_bigrams, 1), 0.0
+            )
+            top_b = np.where(n_bigrams > 0, max_bc / np.maximum(n_bigrams, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_unique_words": pa.array(n_unique_w, type=pa.int64()),
+                "top_word_ratio_r": pa.array(
+                    round_half_up(top_w, 6), type=pa.float64()
+                ),
+                "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+                "dup_bigram_ratio_r": pa.array(
+                    round_half_up(dup_b, 6), type=pa.float64()
+                ),
+                "top_bigram_ratio_r": pa.array(
+                    round_half_up(top_b, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")

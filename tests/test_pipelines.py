@@ -473,3 +473,57 @@ class TestCuration:
             s = grp.sort_values("rank")
             pairs = list(zip(-s.tfidf_r, s.term))
             assert pairs == sorted(pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionStats:
+    def test_handcrafted_docs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import repetition_stats
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": [
+                    "spam spam spam spam",           # one word repeated
+                    "a b c d e",                     # all distinct
+                    "x y x y x y",                   # repeated bigram stream
+                    "",                               # degenerate
+                ],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([19, 9, 11, 0], type=pa.int64()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = (
+            repetition_stats(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        r1 = df.loc[1]
+        assert r1.n_words == 4 and r1.n_unique_words == 1
+        assert r1.top_word_ratio_r == 1.0
+        assert r1.dup_bigram_ratio_r == 0.666667  # 3 bigrams, 1 unique, round 6
+        r2 = df.loc[2]
+        assert r2.top_word_ratio_r == 0.2 and r2.dup_bigram_ratio_r == 0.0
+        r3 = df.loc[3]
+        # 5 bigrams: xy,yx,xy,yx,xy -> 2 unique, max count 3
+        assert r3.n_bigrams == 5 and r3.dup_bigram_ratio_r == 0.6
+        assert r3.top_bigram_ratio_r == 0.6
+        r4 = df.loc[4]
+        assert r4.n_words == 0 and r4.top_word_ratio_r == 0.0
+        assert r4.n_bigrams == 0 and r4.dup_bigram_ratio_r == 0.0
+
+    def test_invariants_on_corpus(self):
+        from invertedindex_ray.pipelines.textstats import repetition_stats
+
+        df = _pdf(repetition_stats(SF))
+        assert len(df) == 500
+        assert (df.n_unique_words <= df.n_words).all()
+        assert ((df.top_word_ratio_r >= 0) & (df.top_word_ratio_r <= 1)).all()
+        assert ((df.dup_bigram_ratio_r >= 0) & (df.dup_bigram_ratio_r < 1)).all()
+        assert (df.n_bigrams == (df.n_words - 1).clip(lower=0)).all()
