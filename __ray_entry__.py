@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- actor-pool batch serving: same engine behind map_batches,
         #     over the nostem index so the serving path is SQL-checked ---
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
+        # --- more-like-this: seed keywords -> BM25 OR retrieval ---
+        "more_like_this": lambda sf: __import__(
+            "invertedindex_ray.pipelines.mlt", fromlist=["x"]
+        ).more_like_this(sf),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
@@ -182,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": lambda sf: __import__(
             "invertedindex_ray.pipelines.sketches", fromlist=["x"]
         ).cms_term_counts(sf, ["data", "query", "join", "the", "zzznope"]),
+        "hll_distinct_terms": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).hll_distinct_terms(sf),
         # --- text analysis ---
         "token_count": lambda sf: textstats.token_count(sf),
         "quality_score": lambda sf: textstats.quality_score(sf),
@@ -404,6 +411,57 @@ ranked AS (
 )
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
+"""
+    )
+
+
+def _mlt_sql(seed_mod: int = 101, m: int = 5, k: int = 10) -> str:
+    """Mirror of pipelines/mlt.py: per-seed top-m TF-IDF keywords (ties
+    term-ascending, scores rounded to 6 before ranking, exactly like the
+    Ray side) feeding a BM25 OR retrieval with the seed excluded before
+    ranks are assigned."""
+    return _base(
+        f""",
+cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs,
+         sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+  FROM docstats
+),
+tfs AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id),
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+tfidf AS (
+  SELECT t.doc_id, t.term,
+         round(ln(c.num_docs / l.df) * (1 + ln(t.tf)), 6) AS tfidf_r
+  FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c
+),
+kw AS (
+  SELECT doc_id AS seed_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rn
+    FROM tfidf WHERE doc_id % {seed_mod} = 0
+  ) WHERE rn <= {m}
+),
+persc AS (
+  SELECT t.term, t.doc_id,
+         (t.tf::DOUBLE / ((1.2 * ((1 - 0.75) + 0.75 * (d.doc_len::DOUBLE / c.avg_doc_len))) + t.tf))
+           * ln(c.num_docs / l.df) AS score
+  FROM tfs t
+  JOIN docstats d USING (doc_id)
+  JOIN lex l USING (term)
+  CROSS JOIN cstats c
+),
+qs AS (
+  SELECT kw.seed_id, p.doc_id, round(sum(p.score), 9) AS score_r
+  FROM kw JOIN persc p USING (term)
+  GROUP BY kw.seed_id, p.doc_id
+),
+ranked AS (
+  SELECT seed_id, doc_id, score_r,
+         row_number() OVER (PARTITION BY seed_id ORDER BY score_r DESC, doc_id) AS rank
+  FROM qs WHERE doc_id <> seed_id
+)
+SELECT seed_id, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
 """
     )
 
@@ -760,6 +818,7 @@ SELECT t.term, t.doc_id,
 FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
+        "more_like_this": _mlt_sql(),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text"

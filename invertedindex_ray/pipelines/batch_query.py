@@ -60,12 +60,15 @@ def batch_topk(
     queries: list[tuple[str, str]],
     k: int = 20,
     cfg: IndexConfig = NOSTEM,
+    exclude: dict[str, int] | None = None,
 ) -> pa.Table:
     """Returns (qid, doc_id, score_r, rank) for every query.
 
     AND semantics follow the reference: if any query term is absent from
     the corpus the query returns nothing; otherwise docs must match every
-    term. OR ignores missing terms.
+    term. OR ignores missing terms. ``exclude`` maps a qid to one doc_id
+    dropped from that query's results BEFORE ranking (the
+    more-like-this seed-exclusion hook).
     """
     parsed = parse_queries(queries, cfg)
     all_terms = sorted(set().union(*[t for _, _, t in parsed]) if parsed else set())
@@ -178,6 +181,8 @@ def batch_topk(
         need = and_n_required.get(qid)
         if need is not None:
             g = g[g["n_hit"] == need]
+        if exclude is not None and qid in exclude:
+            g = g[g["doc_id"] != exclude[qid]]
         g = g.assign(score_r=round_half_up(g["score"].to_numpy(), 9))
         g = g.sort_values(["score_r", "doc_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)

@@ -527,3 +527,97 @@ class TestRepetitionStats:
         assert ((df.top_word_ratio_r >= 0) & (df.top_word_ratio_r <= 1)).all()
         assert ((df.dup_bigram_ratio_r >= 0) & (df.dup_bigram_ratio_r < 1)).all()
         assert (df.n_bigrams == (df.n_words - 1).clip(lower=0)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMoreLikeThis:
+    def test_contract_and_relevance(self):
+        from invertedindex_ray.pipelines.mlt import more_like_this, seed_keywords
+
+        kws = seed_keywords(SF, seed_mod=101, m=5)
+        assert set(kws) == {0, 101, 202, 303, 404}
+        assert all(1 <= len(v) <= 5 for v in kws.values())
+
+        df = _pdf(more_like_this(SF, seed_mod=101, m=5, k=10))
+        for seed, grp in df.groupby("seed_id"):
+            # seed never appears in its own results
+            assert (grp.doc_id != seed).all()
+            s = grp.sort_values("rank")
+            assert list(s["rank"]) == list(range(1, len(s) + 1))
+            assert (s.score_r.diff().dropna() <= 0).all()
+            assert (s.score_r > 0).all()  # every hit shares >=1 keyword
+
+    def test_exclude_hook(self):
+        from invertedindex_ray.pipelines.batch_query import batch_topk
+
+        base = batch_topk(SF, [("q1", "or data query join")], k=5).to_pandas()
+        top_doc = int(base.iloc[0].doc_id)
+        ex = batch_topk(
+            SF, [("q1", "or data query join")], k=5, exclude={"q1": top_doc}
+        ).to_pandas()
+        assert top_doc not in set(ex.doc_id)
+        # rank 1 is re-assigned to the runner-up, not left as a gap
+        assert int(ex.iloc[0]["rank"]) == 1
+        assert int(ex.iloc[0].doc_id) == int(base.iloc[1].doc_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLL:
+    def test_small_vocab_near_exact(self):
+        """Tiny vocabularies hit the linear-counting regime — the
+        estimate should be essentially exact."""
+        import duckdb
+
+        from invertedindex_ray.pipelines.sketches import hll_distinct_terms
+
+        est = int(_pdf(hll_distinct_terms(SF)).n_distinct_est[0])
+        true = duckdb.sql(
+            f"""SELECT count(DISTINCT w) FROM (
+                  SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+                  FROM read_parquet('{SF}/documents.parquet'))"""
+        ).fetchone()[0]
+        assert abs(est - true) <= max(2, 0.02 * true)
+
+    def test_high_cardinality_error_bound(self, tmp_path):
+        """50k distinct tokens: HLL regime; error well under 4 sigma
+        (sigma = 1.04/sqrt(4096) ~= 1.6%)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import hll_distinct_terms
+
+        words = [f"w{i:06d}" for i in range(50_000)]
+        texts = [" ".join(words[i : i + 100]) for i in range(0, 50_000, 100)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        est = int(_pdf(hll_distinct_terms(str(tmp_path))).n_distinct_est[0])
+        assert abs(est - 50_000) / 50_000 < 0.065
+
+    def test_registers_merge_by_max(self):
+        """Split-merge == one-shot sketch (the mergeability contract the
+        distributed reduce relies on)."""
+        from invertedindex_ray.functions.hashing import hash_strings
+        from invertedindex_ray.pipelines.sketches import (
+            _hll_batch_registers,
+            _hll_estimate,
+        )
+
+        words = np.asarray([f"t{i}" for i in range(10_000)], dtype=object)
+        h = hash_strings(words)
+        full = _hll_batch_registers(h, 10)
+        merged = np.maximum(
+            _hll_batch_registers(h[:3000], 10),
+            np.maximum(
+                _hll_batch_registers(h[3000:7000], 10),
+                _hll_batch_registers(h[7000:], 10),
+            ),
+        )
+        assert (full == merged).all()
+        assert _hll_estimate(full) == _hll_estimate(merged)
