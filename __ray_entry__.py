@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- actor-pool batch serving: same engine behind map_batches,
         #     over the nostem index so the serving path is SQL-checked ---
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
+        # --- index merge: shard builds folded into one index ---
+        "merged_index_tub": lambda sf: _merged_index_tub(sf),
         # --- more-like-this: seed keywords -> BM25 OR retrieval ---
         "more_like_this": lambda sf: __import__(
             "invertedindex_ray.pipelines.mlt", fromlist=["x"]
@@ -412,6 +414,66 @@ ranked AS (
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
 """
+    )
+
+
+def _merged_index_tub(sf_dir: str):
+    """Split the documents table into physical halves, build one index
+    per half, merge with :func:`invertedindex_ray.merge.merge_indexes`,
+    and return the MERGED index's lexicon (term, df, cf, tub_r). The
+    oracle is the plain full-corpus term_upper_bounds SQL: the merged
+    lexicon (including the MaxScore bound recomputed under the merged
+    avg_doc_len) must be indistinguishable from a single build over the
+    union."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    cfg = _NOSTEM_CFG
+    key = hashlib.sha256(
+        f"{sf_dir}|merge|{cfg.fingerprint()}|{__version__}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join("/tmp", f"iidx-merge-{key}")
+    out = os.path.join(base, "merged")
+    if not os.path.isdir(out):
+        from invertedindex_ray.build import IndexBuilder
+        from invertedindex_ray.merge import merge_indexes
+        from invertedindex_ray.sources.pages import read_pages_from_documents
+
+        os.makedirs(base, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        half = docs.num_rows // 2
+        for name, tbl in (("sa", docs.slice(0, half)), ("sb", docs.slice(half))):
+            d = os.path.join(base, name)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        for name in ("sa", "sb"):
+            idx = os.path.join(base, f"idx_{name}")
+            b = IndexBuilder(idx, cfg)
+            if not b.manifest.stage_complete("build"):
+                b.build(read_pages_from_documents(os.path.join(base, name)))
+        import shutil
+
+        tmp_out = out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        merge_indexes(
+            os.path.join(base, "idx_sa"), os.path.join(base, "idx_sb"), tmp_out
+        )
+        os.rename(tmp_out, out)
+    lex = pq.read_table(sorted(glob.glob(out + "/lexicon/*.parquet")))
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "term": lex["term"],
+            "df": lex["df"],
+            "cf": lex["cf"],
+            "tub_r": pa.array(
+                round_half_up(lex["tub"].to_numpy(), 6), type=pa.float64()
+            ),
+        }
     )
 
 
@@ -1119,4 +1181,7 @@ SELECT doc_id, term, tfidf_r, rn::BIGINT AS rank FROM r WHERE rn <= 5
     # plain operators' SQL mirrors verbatim.
     for op in ("sessionize", "late_events", "asof_join", "range_join"):
         sql[op + "_scalable"] = sql[op]
+    # the merged index must be indistinguishable from one full build, so
+    # its lexicon shares the full-corpus term_upper_bounds mirror verbatim
+    sql["merged_index_tub"] = sql["term_upper_bounds"]
     return sql

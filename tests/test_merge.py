@@ -1,0 +1,195 @@
+"""Index merge (invertedindex_ray/merge.py): merging two shard builds
+must be indistinguishable from one build over the concatenated corpus —
+same lexicon, doc table, decoded postings (incl. skip metadata via the
+textual mirror) and engine results. Generalizes the reference's SPIMI
+block merge (BinaryIndexer.mergeBlocks, Indexer.java:70-118) to whole
+persisted indexes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from invertedindex_ray.build import build_index
+from invertedindex_ray.config import IndexConfig
+from invertedindex_ray.engine import QueryEngine
+from invertedindex_ray.merge import merge_indexes
+from invertedindex_ray.sources.pages import synth_pages_table
+
+N_DOCS = 120
+SEED = 7
+QUERIES = [
+    "OR the quick brown fox",
+    "OR apple banana cherry run running",
+    "AND the and of",
+    "OR zebra quantum",
+]
+
+
+def _read_dir(path: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _canon_lexicon(index_dir: str):
+    t = _read_dir(os.path.join(index_dir, "lexicon"))
+    rows = sorted(
+        zip(
+            t["term"].to_pylist(),
+            t["df"].to_pylist(),
+            t["cf"].to_pylist(),
+            [round(x, 9) for x in t["tub"].to_pylist()],
+        )
+    )
+    return rows
+
+
+def _canon_doc_table(index_dir: str):
+    t = _read_dir(os.path.join(index_dir, "doc_table"))
+    return sorted(
+        zip(t["doc_id"].to_pylist(), t["url"].to_pylist(), t["doc_len"].to_pylist())
+    )
+
+
+def _decoded_postings(index_dir: str, tmp: str):
+    """Full decoded postings via the textual mirror (S3): term ->
+    [(doc_id, tf), ...] in part order."""
+    import pyarrow.csv as pacsv
+
+    from invertedindex_ray.sources.textual_sink import dump_textual_index
+
+    out = os.path.join(tmp, "textual-" + os.path.basename(index_dir.rstrip("/")))
+    dump_textual_index(index_dir, out)
+    frags = [pacsv.read_csv(f) for f in sorted(glob.glob(os.path.join(out, "*")))]
+    t = pa.concat_tables(frags)
+    got: dict[str, list[tuple[int, int]]] = {}
+    for term, _part, ids, tfs in sorted(
+        zip(
+            t["term"].to_pylist(),
+            t["part"].to_pylist(),
+            t["doc_ids"].to_pylist(),
+            t["tfs"].to_pylist(),
+        )
+    ):
+        pairs = list(zip(map(int, str(ids).split()), map(int, str(tfs).split())))
+        got.setdefault(term, []).extend(pairs)
+    return got
+
+
+def _split_pages(table: pa.Table, d: str) -> tuple[str, str]:
+    half = table.num_rows // 2
+    pa_dir, pb_dir = os.path.join(d, "pa"), os.path.join(d, "pb")
+    for p, tbl in ((pa_dir, table.slice(0, half)), (pb_dir, table.slice(half))):
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(tbl, os.path.join(p, "pages.parquet"))
+    return pa_dir, pb_dir
+
+
+def _build(pages_path: str, idx_dir: str, cfg: IndexConfig):
+    import ray.data as rd
+
+    pages = rd.read_parquet(pages_path, columns=["url", "text"])
+    return build_index(pages, idx_dir, cfg, tokenize_concurrency=2)
+
+
+@pytest.fixture(scope="module", params=["dense", "hash"])
+def merged(request, ray_session, tmp_path_factory):
+    """Build full + two shards + merged, for both id modes."""
+    id_mode = request.param
+    cfg = IndexConfig(num_doc_partitions=2, num_buckets=8, id_mode=id_mode)
+    d = str(tmp_path_factory.mktemp(f"merge-{id_mode}"))
+    table = synth_pages_table(N_DOCS, seed=SEED)
+    full_pages = os.path.join(d, "full")
+    os.makedirs(full_pages, exist_ok=True)
+    pq.write_table(table, os.path.join(full_pages, "pages.parquet"))
+    pa_dir, pb_dir = _split_pages(table, d)
+
+    full_idx = os.path.join(d, "idx_full")
+    idx_a = os.path.join(d, "idx_a")
+    idx_b = os.path.join(d, "idx_b")
+    stats_full = _build(full_pages, full_idx, cfg)
+    _build(pa_dir, idx_a, cfg)
+    _build(pb_dir, idx_b, cfg)
+
+    merged_idx = os.path.join(d, "idx_merged")
+    stats_merged = merge_indexes(idx_a, idx_b, merged_idx)
+    return d, cfg, full_idx, merged_idx, stats_full, stats_merged, idx_a, idx_b
+
+
+class TestMergeEquivalence:
+    def test_stats_identical(self, merged):
+        _, _, _, _, sf, sm, _, _ = merged
+        assert (sf.num_docs, sf.total_tokens) == (sm.num_docs, sm.total_tokens)
+        assert sf.avg_doc_len == pytest.approx(sm.avg_doc_len, rel=0, abs=0)
+
+    def test_lexicon_identical(self, merged):
+        _, _, full_idx, merged_idx, *_ = merged
+        assert _canon_lexicon(merged_idx) == _canon_lexicon(full_idx)
+
+    def test_doc_table_identical(self, merged):
+        _, _, full_idx, merged_idx, *_ = merged
+        assert _canon_doc_table(merged_idx) == _canon_doc_table(full_idx)
+
+    def test_decoded_postings_identical(self, merged, tmp_path):
+        d, _, full_idx, merged_idx, *_ = merged
+        tmp = str(tmp_path)
+        assert _decoded_postings(merged_idx, tmp) == _decoded_postings(full_idx, tmp)
+
+    def test_engine_results_identical(self, merged):
+        _, _, full_idx, merged_idx, *_ = merged
+        ef = QueryEngine(full_idx)
+        em = QueryEngine(merged_idx)
+        for q in QUERIES:
+            assert em.query(q, k=10) == ef.query(q, k=10), q
+
+    def test_merged_index_is_resumable_complete(self, merged):
+        """The merged dir carries a complete manifest: opening and
+        re-merging guards work, and a second merge to the same dir is
+        refused rather than clobbering."""
+        _, _, _, merged_idx, _, _, idx_a, idx_b = merged
+        with pytest.raises(ValueError, match="exists and is not empty"):
+            merge_indexes(idx_a, idx_b, merged_idx)
+
+
+class TestMergeGuards:
+    def test_fingerprint_mismatch_raises(self, ray_session, tmp_path):
+        table = synth_pages_table(40, seed=3)
+        pa_dir, pb_dir = _split_pages(table, str(tmp_path))
+        ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+        _build(pa_dir, ia, IndexConfig(num_buckets=4, stemming=True))
+        _build(pb_dir, ib, IndexConfig(num_buckets=4, stemming=False))
+        with pytest.raises(ValueError, match="fingerprints differ"):
+            merge_indexes(ia, ib, str(tmp_path / "out"))
+
+    def test_unbuilt_input_raises(self, tmp_path):
+        os.makedirs(tmp_path / "empty_a")
+        os.makedirs(tmp_path / "empty_b")
+        with pytest.raises(ValueError, match="config.json missing"):
+            merge_indexes(
+                str(tmp_path / "empty_a"),
+                str(tmp_path / "empty_b"),
+                str(tmp_path / "out"),
+            )
+
+    def test_hash_mode_duplicate_doc_raises(self, ray_session, tmp_path):
+        """Hash ids are content-derived: the same url in both shards
+        would corrupt the merged posting lists, so the merge must fail
+        loudly, not silently double-count."""
+        cfg = IndexConfig(num_buckets=4, id_mode="hash")
+        table = synth_pages_table(40, seed=3)
+        pa_dir = str(tmp_path / "pa")
+        os.makedirs(pa_dir)
+        pq.write_table(table.slice(0, 24), os.path.join(pa_dir, "pages.parquet"))
+        pb_dir = str(tmp_path / "pb")
+        os.makedirs(pb_dir)
+        # overlap: docs 20..24 appear in BOTH shards
+        pq.write_table(table.slice(20), os.path.join(pb_dir, "pages.parquet"))
+        ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+        _build(pa_dir, ia, cfg)
+        _build(pb_dir, ib, cfg)
+        with pytest.raises(Exception, match="both indexes|duplicate doc id"):
+            merge_indexes(ia, ib, str(tmp_path / "out"))
