@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).more_like_this(sf),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
+        "dedup_passages": lambda sf: dedup.passage_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash_fingerprints": lambda sf: dedup.simhash_fingerprints(sf),
@@ -885,6 +886,22 @@ FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text"
         ),
+        # passage-level exact dedup (Lee et al. 2022 granularity): docs
+        # tiled into 8-word passages, global first-occurrence keep, doc
+        # re-assembled from survivors. Key base 2^21 packs (doc_id, ord)
+        # into one BIGINT exactly like pipelines/dedup.passage_dedup.
+        "dedup_passages": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS ord, ws FROM w),
+p AS (SELECT doc_id, ord, array_to_string(ws[ord*8+1 : ord*8+8], ' ') AS para FROM c),
+k AS (SELECT min(doc_id*2097152 + ord) AS mk, arg_min(para, doc_id*2097152 + ord) AS para
+      FROM p GROUP BY md5(para)),
+kept AS (SELECT mk//2097152 AS doc_id, mk%2097152 AS ord, para FROM k),
+agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(para, ' ' ORDER BY ord) AS text_dedup
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, CAST(ceil(len(string_split(d.text,' '))/8.0) AS BIGINT) AS n_paras,
+       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "dedup_ngram_jaccard": """
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a

@@ -676,3 +676,182 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- passage-level exact dedup
+
+def passage_dedup(sf_dir: str, *, words_per_passage: int = 8):
+    """Passage-level exact dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022 — their EXACTSUBSTR at
+    fixed granularity): docs are tiled into non-overlapping
+    ``words_per_passage``-word passages; every passage that already
+    occurred earlier in the corpus (first occurrence = smallest
+    ``(doc_id, ord)``) is cut, and each doc is re-assembled from its
+    surviving passages.
+
+    Returns (doc_id, n_paras, n_kept, text_dedup) — one row per input
+    doc; docs whose every passage is a repeat keep ``text_dedup = ''``.
+
+    Scale shape: the corpus-wide shuffle moves only 16 B (hash, key)
+    rows — passage TEXT never leaves the mapper; the winner set comes
+    from one ``groupby(h).min(key)``, per-doc surviving ordinals are
+    gathered by a second slim groupby, and the text is re-cut from the
+    original docs in a final hash-join + vectorized slice (Arrow
+    ``split_pattern``/``binary_join``; no per-word Python). Passage
+    hashing is md5-based (md5_hash63) so the DuckDB oracle reproduces
+    the grouping bit-for-bit.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Min
+
+    W = int(words_per_passage)
+    M = 1 << 21  # ords-per-doc key base; docs are << 2M passages
+
+    explode_schema = pa.schema([("h", pa.int64()), ("key", pa.int64())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return explode_schema.empty_table()
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(text, " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        flat = wl.values
+        n_words = np.diff(offs)
+        n_chunks = (n_words + W - 1) // W
+        total = int(n_chunks.sum())
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts_per_doc = np.zeros(len(n_chunks), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts_per_doc[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts_per_doc, n_chunks)
+        chunk_starts = np.repeat(offs[:-1], n_chunks) + W * intra
+        chunk_offsets = np.append(chunk_starts, offs[-1]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(chunk_offsets), flat)
+        paras = pc.binary_join(la, " ")
+        h = md5_hash63(paras.to_pylist())
+        key = np.repeat(doc_ids, n_chunks) * M + intra
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.int64()),
+                "key": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    winners = (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("key", alias_name="key"))
+    )
+
+    def per_doc_ords(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows in g share one doc_id; ords are encoded as a sorted
+        # space-joined string so no list-typed column crosses the join
+        ords = np.sort(g["ord"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "ords": [" ".join(map(str, ords))],
+                "n_kept": [np.int64(len(ords))],
+            }
+        )
+
+    kept_schema = pa.schema(
+        [("doc_id", pa.int64()), ("ords", pa.string()), ("n_kept", pa.int64())]
+    )
+    kept = _normalize_schema(
+        winners.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.divide(t["key"], M).cast(pa.int64()),
+                    "ord": pc.subtract(
+                        t["key"], pc.multiply(pc.divide(t["key"], M), M)
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .map_groups(per_doc_ords, batch_format="pandas"),
+        kept_schema,
+    )
+    kept, n_kept_docs = _materialized_nonempty(kept, kept_schema)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_paras", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("text_dedup", pa.string()),
+        ]
+    )
+
+    def reconstruct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(text, " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        flat = wl.values
+        n_words = np.diff(offs)
+        n_paras = (n_words + W - 1) // W
+        n_kept = (
+            pc.fill_null(batch["n_kept"], 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ords_col = batch["ords"]
+        ords_col = (
+            ords_col.combine_chunks()
+            if isinstance(ords_col, pa.ChunkedArray)
+            else ords_col
+        )
+        valid = pc.is_valid(ords_col)
+        nonempty = pc.and_(valid, pc.not_equal(pc.coalesce(ords_col, ""), ""))
+        filt = ords_col.filter(nonempty)
+        if len(filt):
+            ol = pc.split_pattern(filt, " ")
+            flat_ords = ol.values.cast(pa.int64()).to_numpy().astype(np.int64)
+        else:
+            flat_ords = np.empty(0, dtype=np.int64)
+        # flat_ords aligns row-order with the docs that have n_kept > 0
+        doc_starts = np.repeat(offs[:-1], n_kept)
+        c_starts = doc_starts + W * flat_ords
+        c_ends = np.minimum(c_starts + W, np.repeat(offs[1:], n_kept))
+        lens = c_ends - c_starts
+        tot = int(lens.sum())
+        l_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=l_off[1:])
+        word_idx = np.repeat(c_starts, lens) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(l_off[:-1], lens)
+        )
+        gathered = flat.take(pa.array(word_idx, type=pa.int64()))
+        # per-doc word offsets: segment `lens` by each doc's n_kept
+        k_off = np.zeros(len(n_kept) + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=k_off[1:])
+        doc_word_counts = l_off[k_off[1:]] - l_off[k_off[:-1]]
+        d_off = np.zeros(len(n_kept) + 1, dtype=np.int64)
+        np.cumsum(doc_word_counts, out=d_off[1:])
+        la2 = pa.ListArray.from_arrays(pa.array(d_off.astype(np.int32)), gathered)
+        text_dedup = pc.binary_join(la2, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_paras": pa.array(n_paras, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+                "text_dedup": text_dedup,
+            }
+        )
+
+    n_docs = pq_mod.ParquetFile(docs_path).metadata.num_rows
+    joined = _read_docs(sf_dir).join(
+        kept,
+        join_type="left_outer",
+        num_partitions=_pair_join_partitions(n_docs),
+        on=("doc_id",),
+    )
+    return joined.map_batches(reconstruct, batch_format="pyarrow")

@@ -29,6 +29,59 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_passage_dedup_semantics(self, tmp_path):
+        """Passage-level exact dedup: global first-occurrence keep at
+        8-word granularity, including whole-doc dups (empty output),
+        intra-doc repeats (cut once) and short tail passages."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.dedup import passage_dedup
+
+        p1 = " ".join(f"w{i}" for i in range(8))
+        p2 = " ".join(f"x{i}" for i in range(8))
+        pa_ = " ".join(f"a{i}" for i in range(8))
+        d1 = f"{p1} {p2}"          # 2 unique passages
+        d2 = d1                     # exact copy: everything cut
+        d3 = f"{p1} u1 u2 u3"      # first passage dup, 3-word tail kept
+        d4 = f"{pa_} {pa_} b1"     # intra-doc repeat cut once
+        pq.write_table(
+            pa.table(
+                {"doc_id": [1, 2, 3, 4], "text": [d1, d2, d3, d4]}
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = _pdf(passage_dedup(str(tmp_path))).set_index("doc_id").sort_index()
+        assert df.loc[1, "text_dedup"] == d1 and df.loc[1, "n_kept"] == 2
+        assert df.loc[2, "text_dedup"] == "" and df.loc[2, "n_kept"] == 0
+        assert df.loc[2, "n_paras"] == 2
+        assert df.loc[3, "text_dedup"] == "u1 u2 u3" and df.loc[3, "n_kept"] == 1
+        assert df.loc[4, "text_dedup"] == f"{pa_} b1" and df.loc[4, "n_kept"] == 2
+
+    def test_passage_dedup_invariants_on_corpus(self):
+        """On the real corpus: n_kept <= n_paras, Σn_kept = #distinct
+        passages, and every output doc re-assembles to a word count equal
+        to the sum of its kept passage lengths."""
+        from invertedindex_ray.pipelines.dedup import passage_dedup
+
+        df = _pdf(passage_dedup(SF))
+        assert len(df) == 500
+        assert (df["n_kept"] <= df["n_paras"]).all()
+        assert (df["n_kept"] > 0).any() and (df["n_kept"] < df["n_paras"]).any()
+        # distinct 8-word passages, computed independently
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(f"{SF}/documents.parquet")["text"].to_pylist()
+        distinct = set()
+        for t in texts:
+            ws = t.split(" ")
+            for i in range(0, len(ws), 8):
+                distinct.add(" ".join(ws[i : i + 8]))
+        assert df["n_kept"].sum() == len(distinct)
+        # word-count conservation on the survivors
+        nw = df["text_dedup"].map(lambda s: len(s.split(" ")) if s else 0)
+        assert int(nw.sum()) < sum(len(t.split(" ")) for t in texts)
+
     def test_minhash_finds_exact_jaccard_pairs(self):
         """LSH candidates must cover the high-similarity exact pairs
         (estimate >= 0.5 band-collides with near-certainty at j >= 0.8)."""
