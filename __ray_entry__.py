@@ -182,6 +182,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.ann_topk(sf, n_queries=5, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
+        # --- distributed k-means + SemDeDup (iterative: rows-only, the
+        #     pytest oracle is a pure-numpy Lloyd run) ---
+        "kmeans_clusters": lambda sf: __import__(
+            "invertedindex_ray.pipelines.clustering", fromlist=["x"]
+        ).kmeans_clusters(sf, k=10, iters=5),
+        "semantic_dedup": lambda sf: __import__(
+            "invertedindex_ray.pipelines.clustering", fromlist=["x"]
+        ).semantic_dedup(sf, k=10, iters=5, tau=0.4),
         # --- sketch / heavy-hitter aggregates ---
         "top_terms": lambda sf: __import__(
             "invertedindex_ray.pipelines.sketches", fromlist=["x"]

@@ -674,3 +674,101 @@ class TestHLL:
         )
         assert (full == merged).all()
         assert _hll_estimate(full) == _hll_estimate(merged)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClustering:
+    def _numpy_lloyd(self, k=10, iters=5):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        emb = t["embedding"].combine_chunks()
+        mat = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(t.num_rows, -1)
+        )
+        ids = t["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        c = mat[order[:k]].copy()
+        for _ in range(iters):
+            d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ c.T + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            new = c.copy()
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    new[j] = mat[m].mean(0)
+            c = new
+        d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ c.T + (c * c).sum(1)[None, :]
+        return ids, mat, np.argmin(d2, axis=1)
+
+    def test_kmeans_matches_numpy_lloyd(self):
+        """Distributed k-means (per-block partial sums, sorted driver
+        reduce) must assign every vector to the same cluster as a
+        single-process Lloyd run with identical deterministic init."""
+        from invertedindex_ray.pipelines.clustering import kmeans_clusters
+
+        df = _pdf(kmeans_clusters(SF)).sort_values("vec_id").reset_index(drop=True)
+        ids, _, a = self._numpy_lloyd()
+        oracle = dict(zip(ids, a))
+        assert len(df) == 500
+        assert (
+            df["cluster"].to_numpy()
+            == np.array([oracle[v] for v in df["vec_id"]])
+        ).all()
+
+    def test_semantic_dedup_matches_bruteforce(self):
+        """SemDeDup pairs == brute-force same-cluster cosine pairs."""
+        from invertedindex_ray.pipelines.clustering import semantic_dedup
+
+        tau = 0.35
+        got = _pdf(semantic_dedup(SF, tau=tau))
+        got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+        ids, mat, a = self._numpy_lloyd()
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids, kind="stable")
+        ids_s, n_s, a_s = ids[order], n[order], a[order]
+        exp = set()
+        from invertedindex_ray.functions.rounding import round_half_up
+
+        for j in range(10):
+            m = a_s == j
+            sub_ids, sub = ids_s[m], n_s[m]
+            cos = sub @ sub.T
+            ia, ib = np.triu_indices(len(sub_ids), 1)
+            keep = round_half_up(cos[ia, ib], 6) >= tau
+            exp |= set(zip(sub_ids[ia[keep]], sub_ids[ib[keep]]))
+        assert got_pairs == exp
+        assert len(exp) > 0  # the fixture must actually exercise pairs
+        assert (got["cos_r"] >= tau).all()
+
+    def test_semantic_dedup_cluster_cap_drops_only_oversized(self):
+        """The cap drops pairs ONLY from clusters above the cap (the
+        warning itself is emitted by _capped, whose loudness is covered
+        by TestDedup.test_bucket_caps_are_loud — it fires inside Ray
+        workers here, invisible to driver-side caplog)."""
+        from invertedindex_ray.pipelines.clustering import semantic_dedup
+
+        cap = 45
+        tau = 0.35
+        got = _pdf(semantic_dedup(SF, tau=tau, cluster_cap=cap))
+        ids, mat, a = self._numpy_lloyd()
+        sizes = np.bincount(a, minlength=10)
+        small = {j for j in range(10) if sizes[j] <= cap}
+        assert small and small != set(range(10))  # cap must bite partially
+        assert set(got["cluster"]) <= small
+        # and within the surviving clusters, nothing is lost
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        from invertedindex_ray.functions.rounding import round_half_up
+
+        exp = set()
+        for j in small:
+            m = a == j
+            sub_ids, sub = ids[m], n[m]
+            cos = sub @ sub.T
+            ia, ib = np.triu_indices(len(sub_ids), 1)
+            keep = round_half_up(cos[ia, ib], 6) >= tau
+            for x, y in zip(sub_ids[ia[keep]], sub_ids[ib[keep]]):
+                exp.add((min(x, y), max(x, y)))
+        assert set(zip(got["vec_a"], got["vec_b"])) == exp
