@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
         # --- index merge: shard builds folded into one index ---
         "merged_index_tub": lambda sf: _merged_index_tub(sf),
+        # --- index deletion: retraction without re-tokenizing ---
+        "deleted_index_tub": lambda sf: _deleted_index_tub(sf),
         # --- more-like-this: seed keywords -> BM25 OR retrieval ---
         "more_like_this": lambda sf: __import__(
             "invertedindex_ray.pipelines.mlt", fromlist=["x"]
@@ -483,6 +485,87 @@ def _merged_index_tub(sf_dir: str):
                 round_half_up(lex["tub"].to_numpy(), 6), type=pa.float64()
             ),
         }
+    )
+
+
+def _deleted_index_tub(sf_dir: str):
+    """Build the full nostem index (cached), delete every 3rd index doc
+    id via :func:`invertedindex_ray.merge.delete_docs` (no re-tokenize),
+    and return the DELETED index's lexicon (term, df, cf, tub_r). The
+    oracle recomputes term_upper_bounds over only the surviving docs —
+    survivors are ranked by ingestion order (row_number over docstats),
+    exactly the dense-id assignment rule, so the filter is robust even
+    if some doc tokenized to empty."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    cfg = _NOSTEM_CFG
+    key = hashlib.sha256(
+        f"{sf_dir}|delete|{cfg.fingerprint()}|{__version__}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join("/tmp", f"iidx-del-{key}")
+    if not os.path.isdir(out):
+        import shutil
+
+        from invertedindex_ray.build import CollectionStats
+        from invertedindex_ray.merge import delete_docs
+
+        _built_engine(sf_dir, cfg)  # ensure the cached full index exists
+        full_idx = _index_dir_for(sf_dir, cfg)
+        n = CollectionStats.load(full_idx).num_docs
+        tmp_out = out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        delete_docs(full_idx, tmp_out, np.arange(0, n, 3))
+        os.rename(tmp_out, out)
+    lex = pq.read_table(sorted(glob.glob(out + "/lexicon/*.parquet")))
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "term": lex["term"],
+            "df": lex["df"],
+            "cf": lex["cf"],
+            "tub_r": pa.array(
+                round_half_up(lex["tub"].to_numpy(), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def _deleted_tub_sql() -> str:
+    """term_upper_bounds restricted to the docs that SURVIVE deleting
+    every 3rd dense index id (rank by ingestion order among docs that
+    tokenized non-empty — the dense-id rule, build.py J1)."""
+    return _base(
+        """, surv AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid FROM docstats
+),
+keepd AS (SELECT doc_id FROM surv WHERE rid % 3 <> 0),
+kept2 AS (SELECT k.doc_id, k.term FROM kept k JOIN keepd USING (doc_id)),
+docstats2 AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM kept2 GROUP BY doc_id),
+cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs, sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+  FROM docstats2
+),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept2 GROUP BY term, doc_id
+)
+SELECT t.term,
+       count(*)::BIGINT AS df,
+       sum(t.tf)::BIGINT AS cf,
+       round(
+         max(t.tf::DOUBLE / ((1.2 * ((1 - 0.75) + 0.75 * (d.doc_len::DOUBLE / c.avg_doc_len))) + t.tf))
+           * ln(c.num_docs / count(*)),
+         6
+       ) AS tub_r
+FROM tfs t
+JOIN docstats2 d USING (doc_id)
+CROSS JOIN cstats c
+GROUP BY t.term, c.num_docs, c.avg_doc_len"""
     )
 
 
@@ -1209,4 +1292,6 @@ SELECT doc_id, term, tfidf_r, rn::BIGINT AS rank FROM r WHERE rn <= 5
     # the merged index must be indistinguishable from one full build, so
     # its lexicon shares the full-corpus term_upper_bounds mirror verbatim
     sql["merged_index_tub"] = sql["term_upper_bounds"]
+    # deletion: same lexicon mirror over only the surviving docs
+    sql["deleted_index_tub"] = _deleted_tub_sql()
     return sql

@@ -92,12 +92,19 @@ def _repartition_runs(
     b: float,
     doc_len_arr: np.ndarray,
     doc_ids_arr: np.ndarray | None,
+    delete_sorted: np.ndarray | None = None,
+    renumber: bool = False,
 ) -> pa.Table:
     """One batch of a shard's persisted segment rows -> partial-run rows
     in the build shuffle's schema, with ids offset, parts/buckets
     reassigned under the merged divisor, and maxp recomputed under the
-    merged avg_doc_len. Decode/boundary/encode patterns mirror
-    stages/segment.py:84-131 (cited, shared provenance)."""
+    merged avg_doc_len. ``delete_sorted`` drops those doc ids from every
+    run; ``renumber`` re-densifies the survivors (new_id = old_id minus
+    the number of deleted ids below it — the dense-mode deletion
+    semantic, which makes the result bit-equal to a fresh build over
+    the remaining corpus in the original ingestion order).
+    Decode/boundary/encode patterns mirror stages/segment.py:84-131
+    (cited, shared provenance)."""
     if batch.num_rows == 0:
         return _PARTIAL_SCHEMA.empty_table()
     from invertedindex_ray.functions.scoring import bm25_partial
@@ -113,10 +120,22 @@ def _repartition_runs(
     base = np.zeros(len(row_len), dtype=np.int64)
     base[1:] = c[starts[1:] - 1]
     orig_ids = c - np.repeat(base, row_len)  # absolute shard-local ids
-
-    new_ids = orig_ids + id_offset
-    new_part = new_ids // divisor
     row_idx = np.repeat(np.arange(len(row_len), dtype=np.int64), row_len)
+
+    if delete_sorted is not None and len(delete_sorted):
+        pos = np.searchsorted(delete_sorted, orig_ids)
+        clipped = np.minimum(pos, len(delete_sorted) - 1)
+        gone = delete_sorted[clipped] == orig_ids
+        keep = ~gone
+        orig_ids, tf, row_idx = orig_ids[keep], tf[keep], row_idx[keep]
+        if not len(orig_ids):
+            return _PARTIAL_SCHEMA.empty_table()
+
+    if renumber and delete_sorted is not None and len(delete_sorted):
+        new_ids = orig_ids - np.searchsorted(delete_sorted, orig_ids) + id_offset
+    else:
+        new_ids = orig_ids + id_offset
+    new_part = new_ids // divisor
 
     n = len(new_ids)
     change = np.empty(n, dtype=bool)
@@ -165,8 +184,11 @@ def _repartition_runs(
 
 
 def _shard_partials(index_dir: str, id_offset: int, divisor: int,
-                    cfg: IndexConfig, avg_new: float):
-    """Lazy Dataset of re-partitioned partial runs for one shard."""
+                    cfg: IndexConfig, avg_new: float,
+                    delete_ref=None, renumber: bool = False):
+    """Lazy Dataset of re-partitioned partial runs for one shard.
+    ``delete_ref``: ray.ObjectRef of a sorted int64 array of doc ids to
+    drop (broadcast once, read per task)."""
     import ray
     import ray.data as rd
 
@@ -189,6 +211,8 @@ def _shard_partials(index_dir: str, id_offset: int, divisor: int,
             b=cfg.bm25_b,
             doc_len_arr=_ray.get(dl_ref),
             doc_ids_arr=_ray.get(ids_ref),
+            delete_sorted=_ray.get(delete_ref) if delete_ref is not None else None,
+            renumber=renumber,
         )
 
     return rd.read_parquet(os.path.join(index_dir, "segments")).map_batches(
@@ -282,6 +306,58 @@ def _merge_doc_tables_hash(dir_a: str, dir_b: str, out_dir: str) -> None:
             )
 
 
+def _write_segments_and_lexicon(out_dir: str, cfg: IndexConfig, stats,
+                                partials, builder, what: str) -> None:
+    """Shared tail of merge/delete: bucket-sort the partial runs, write
+    segments through the build's own SegmentWriter, finish the lexicon,
+    and enforce token conservation (Σcf == corpus tokens)."""
+    import ray.data as rd
+
+    shuffled = partials.sort("bucket")
+    writer = SegmentWriter(out_dir, cfg, stats.avg_doc_len)
+
+    def write_segment_block(block: pa.Table) -> pa.Table:
+        # same whole-bucket slicing contract as build.py:543-558
+        if block.num_rows == 0:
+            return STATS_SCHEMA.empty_table()
+        buckets = block["bucket"].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
+        b_starts = np.concatenate(([0], change))
+        b_ends = np.concatenate((change, [len(buckets)]))
+        outs = [
+            writer(block.slice(int(s), int(e - s))) for s, e in zip(b_starts, b_ends)
+        ]
+        return pa.concat_tables(outs) if outs else STATS_SCHEMA.empty_table()
+
+    seg_stats = shuffled.map_batches(
+        write_segment_block, batch_format="pyarrow", batch_size=None
+    )
+    builder._finish_lexicon(seg_stats, stats)
+
+    # token-conservation guard (same invariant as build.py:646-667)
+    if os.path.isdir(os.path.join(out_dir, "segstats")):
+        from ray.data.aggregate import Sum
+
+        seg = rd.read_parquet(os.path.join(out_dir, "segstats"))
+        cf_total = int(
+            seg.aggregate(Sum("cf", alias_name="cf_total")).get("cf_total", 0) or 0
+        )
+        if cf_total != stats.total_tokens:
+            raise RuntimeError(
+                f"{what} lost or duplicated postings: sum(cf) = {cf_total} "
+                f"but the corpus has {stats.total_tokens} tokens"
+            )
+
+    stats.save(out_dir)
+    builder.manifest.mark_complete(
+        "stats", num_docs=stats.num_docs, total_tokens=stats.total_tokens
+    )
+    builder.manifest.mark_complete("doc_table", num_docs=stats.num_docs)
+    builder.manifest.mark_complete("segments")
+    builder.manifest.mark_complete("lexicon")
+    builder.manifest.mark_complete("build")
+
+
 def merge_indexes(dir_a: str, dir_b: str, out_dir: str):
     """Merge two built indexes into ``out_dir``; returns the merged
     CollectionStats. Requires identical config fingerprints. Dense id
@@ -330,43 +406,105 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str):
     partials = _shard_partials(dir_a, 0, divisor, cfg, avg).union(
         _shard_partials(dir_b, offset_b, divisor, cfg, avg)
     )
-    shuffled = partials.sort("bucket")
-    writer = SegmentWriter(out_dir, cfg, avg)
+    _write_segments_and_lexicon(out_dir, cfg, stats, partials, builder, "merge")
+    return stats
 
-    def write_segment_block(block: pa.Table) -> pa.Table:
-        # same whole-bucket slicing contract as build.py:543-558
-        if block.num_rows == 0:
-            return STATS_SCHEMA.empty_table()
-        buckets = block["bucket"].to_numpy(zero_copy_only=False)
-        change = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
-        b_starts = np.concatenate(([0], change))
-        b_ends = np.concatenate((change, [len(buckets)]))
-        outs = [
-            writer(block.slice(int(s), int(e - s))) for s, e in zip(b_starts, b_ends)
-        ]
-        return pa.concat_tables(outs) if outs else STATS_SCHEMA.empty_table()
 
-    seg_stats = shuffled.map_batches(
-        write_segment_block, batch_format="pyarrow", batch_size=None
+def delete_docs(index_dir: str, out_dir: str, doc_ids) -> "object":
+    """Delete ``doc_ids`` from a built index, writing the result to
+    ``out_dir`` WITHOUT re-tokenizing — the retraction half of
+    incremental maintenance (merge_indexes is the addition half).
+
+    Dense id mode re-densifies the survivors (new_id = old_id minus the
+    number of deleted ids below it), so the output is bit-equal to a
+    fresh build over the remaining corpus in the original ingestion
+    order. Hash mode keeps ids (content-derived) — also fresh-build
+    equal. Per-term df/cf, the part divisor and every MaxScore bound
+    (avg_doc_len changes!) are recomputed; unknown ids fail loudly.
+
+    Scale shape: the deleted-id set is broadcast ONCE (``ray.put`` of a
+    sorted int64 array; deletion lists are assumed small relative to
+    the corpus — GDPR erasure, spam takedowns) and every segment batch
+    drops ids with one vectorized searchsorted; only the surviving
+    VB-compressed runs re-shuffle.
+    """
+    import ray
+    import ray.data as rd
+
+    from invertedindex_ray.build import CollectionStats, IndexBuilder
+    from invertedindex_ray.state.disktables import DocTable, _parquet_files
+
+    cfg = IndexConfig.load(index_dir)
+    if cfg is None:
+        raise ValueError("input must be a built index (config.json missing)")
+    stats_old = CollectionStats.load(index_dir)
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"delete target {out_dir} exists and is not empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    del_sorted = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    dt = DocTable(os.path.join(index_dir, "doc_table"), mode="ondisk")
+    if cfg.id_mode == "dense":
+        bad = del_sorted[(del_sorted < 0) | (del_sorted >= stats_old.num_docs)]
+        if len(bad):
+            raise ValueError(f"unknown doc ids (dense 0..{stats_old.num_docs - 1}): {bad[:5]}")
+        deleted_tokens = int(dt.doc_len[del_sorted].sum())
+    else:
+        pos = np.searchsorted(dt.doc_ids, del_sorted)
+        clipped = np.minimum(pos, len(dt.doc_ids) - 1)
+        missing = del_sorted[(pos >= len(dt.doc_ids)) | (dt.doc_ids[clipped] != del_sorted)]
+        if len(missing):
+            raise ValueError(f"unknown doc ids: {missing[:5]}")
+        deleted_tokens = int(dt.doc_len[np.searchsorted(dt.doc_ids, del_sorted)].sum())
+
+    num_docs = stats_old.num_docs - len(del_sorted)
+    total_tokens = stats_old.total_tokens - deleted_tokens
+    avg = (total_tokens / num_docs) if num_docs else 0.0
+    stats = CollectionStats(
+        num_docs=num_docs, total_tokens=total_tokens, avg_doc_len=avg
     )
-    builder._finish_lexicon(seg_stats, stats)
+    divisor = part_divisor(cfg, num_docs) if num_docs else 1
+    renumber = cfg.id_mode == "dense"
+    del_ref = ray.put(del_sorted)
 
-    # token-conservation guard (same invariant as build.py:646-667)
-    if os.path.isdir(os.path.join(out_dir, "segstats")):
-        from ray.data.aggregate import Sum
+    builder = IndexBuilder(out_dir, cfg)
+    cfg.save(out_dir)
 
-        seg = rd.read_parquet(os.path.join(out_dir, "segstats"))
-        cf_total = int(seg.aggregate(Sum("cf", alias_name="cf_total")).get("cf_total", 0) or 0)
-        if cf_total != total_tokens:
-            raise RuntimeError(
-                f"merge lost or duplicated postings: sum(cf) = {cf_total} "
-                f"but the merged corpus has {total_tokens} tokens"
+    # ---- doc table: per-file rewrite (same basenames keep the global
+    # positional order dense DocTable requires)
+    out_dt = os.path.join(out_dir, "doc_table")
+    os.makedirs(out_dt, exist_ok=True)
+
+    @ray.remote
+    def rewrite_file(src: str, dst: str, renum: bool) -> None:
+        import pyarrow.parquet as pq_mod
+
+        t = pq_mod.read_table(src)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dels = ray.get(del_ref)
+        pos = np.searchsorted(dels, ids)
+        clipped = np.minimum(pos, len(dels) - 1) if len(dels) else pos
+        keep = ~(dels[clipped] == ids) if len(dels) else np.ones(len(ids), bool)
+        t = t.filter(pa.array(keep))
+        if renum and len(dels):
+            ids_k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            new = ids_k - np.searchsorted(dels, ids_k)
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(new, type=pa.int64()),
             )
+        pq_mod.write_table(t, dst)
 
-    stats.save(out_dir)
-    builder.manifest.mark_complete("stats", num_docs=num_docs, total_tokens=total_tokens)
-    builder.manifest.mark_complete("doc_table", num_docs=num_docs)
-    builder.manifest.mark_complete("segments")
-    builder.manifest.mark_complete("lexicon")
-    builder.manifest.mark_complete("build")
+    ray.get(
+        [
+            rewrite_file.remote(f, os.path.join(out_dt, os.path.basename(f)), renumber)
+            for f in _parquet_files(os.path.join(index_dir, "doc_table"))
+        ]
+    )
+
+    partials = _shard_partials(
+        index_dir, 0, divisor, cfg, avg, delete_ref=del_ref, renumber=renumber
+    )
+    _write_segments_and_lexicon(out_dir, cfg, stats, partials, builder, "delete")
     return stats

@@ -193,3 +193,80 @@ class TestMergeGuards:
         _build(pb_dir, ib, cfg)
         with pytest.raises(Exception, match="both indexes|duplicate doc id"):
             merge_indexes(ia, ib, str(tmp_path / "out"))
+
+
+@pytest.fixture(scope="module", params=["dense", "hash"])
+def deleted(request, ray_session, tmp_path_factory):
+    """Full build, fresh build over the remainder, and delete_docs
+    output, for both id modes. Deletes every 3rd doc id."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.merge import delete_docs
+
+    id_mode = request.param
+    cfg = IndexConfig(num_doc_partitions=2, num_buckets=8, id_mode=id_mode)
+    d = str(tmp_path_factory.mktemp(f"del-{id_mode}"))
+    table = synth_pages_table(N_DOCS, seed=SEED)
+    full_pages = os.path.join(d, "full")
+    os.makedirs(full_pages)
+    pq.write_table(table, os.path.join(full_pages, "pages.parquet"))
+    full_idx = os.path.join(d, "idx_full")
+    _build(full_pages, full_idx, cfg)
+
+    dtf = _read_dir(os.path.join(full_idx, "doc_table"))
+    all_ids = np.sort(dtf["doc_id"].to_numpy())
+    dels = all_ids[::3]
+    urls_del = set(
+        dtf.filter(pc.is_in(dtf["doc_id"], value_set=pa.array(dels)))["url"].to_pylist()
+    )
+    keep = [u not in urls_del for u in table["url"].to_pylist()]
+    rem_pages = os.path.join(d, "rem")
+    os.makedirs(rem_pages)
+    pq.write_table(table.filter(pa.array(keep)), os.path.join(rem_pages, "pages.parquet"))
+    fresh_idx = os.path.join(d, "idx_fresh")
+    _build(rem_pages, fresh_idx, cfg)
+
+    del_idx = os.path.join(d, "idx_del")
+    stats = delete_docs(full_idx, del_idx, dels)
+    return d, full_idx, fresh_idx, del_idx, stats, dels
+
+
+class TestDeleteEquivalence:
+    """delete_docs output must be bit-equal to a fresh build over the
+    remaining corpus (dense: survivors re-densified in ingestion order;
+    hash: content-derived ids unchanged)."""
+
+    def test_lexicon_identical(self, deleted):
+        _, _, fresh_idx, del_idx, *_ = deleted
+        assert _canon_lexicon(del_idx) == _canon_lexicon(fresh_idx)
+
+    def test_doc_table_identical(self, deleted):
+        _, _, fresh_idx, del_idx, *_ = deleted
+        assert _canon_doc_table(del_idx) == _canon_doc_table(fresh_idx)
+
+    def test_decoded_postings_identical(self, deleted, tmp_path):
+        _, _, fresh_idx, del_idx, *_ = deleted
+        tmp = str(tmp_path)
+        assert _decoded_postings(del_idx, tmp) == _decoded_postings(fresh_idx, tmp)
+
+    def test_engine_results_identical(self, deleted):
+        _, _, fresh_idx, del_idx, *_ = deleted
+        ed, ef = QueryEngine(del_idx), QueryEngine(fresh_idx)
+        for q in QUERIES:
+            assert ed.query(q, k=10) == ef.query(q, k=10), q
+
+    def test_stats_updated(self, deleted):
+        _, full_idx, _, _, stats, dels = deleted
+        from invertedindex_ray.build import CollectionStats
+
+        old = CollectionStats.load(full_idx)
+        assert stats.num_docs == old.num_docs - len(dels)
+        assert stats.total_tokens < old.total_tokens
+
+    def test_unknown_id_raises(self, deleted, tmp_path):
+        from invertedindex_ray.merge import delete_docs
+
+        _, full_idx, *_ = deleted
+        with pytest.raises(ValueError, match="unknown doc ids"):
+            delete_docs(full_idx, str(tmp_path / "out"), [10**15])
