@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": lambda sf: textstats.fingerprint_md5(sf),
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
+        "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -253,6 +254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda sf: curation.normalize_text(sf),
         "stratified_sample": lambda sf: curation.stratified_sample(sf),
         "source_stats": lambda sf: curation.source_stats(sf),
+        # manifest-only here (out_dir=None): the write path + readback
+        # parity is pytest-covered; the manifest math is SQL-checked
+        "export_shards": lambda sf: curation.export_shards(
+            sf, None, n_shards=8, seed=0
+        ),
         "contamination_check": lambda sf: curation.contamination_check(sf),
         "top_keywords": lambda sf: curation.top_keywords(sf),
         # --- multimodal plumbing ---
@@ -1066,6 +1072,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tstats t USING (doc_id)
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # mean per-token surprisal under the corpus's own unigram LM.
+        # The inner (doc_id, w) grouping mirrors the Ray pipeline's
+        # tf * -ln(n/N) weighting so float summation shapes match.
+        "unigram_surprisal": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks),
+dw AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, w)
+SELECT d.doc_id,
+       sum(d.tf)::BIGINT AS n_tokens,
+       round(sum(d.tf::DOUBLE * -ln(c.n::DOUBLE / t.n_total)) / sum(d.tf)::DOUBLE, 6) AS surprisal_r
+FROM dw d JOIN cnt c USING (w) CROSS JOIN tot t
+GROUP BY d.doc_id""",
         "repetition_stats": """
 WITH tk AS (
   SELECT doc_id,
@@ -1247,6 +1266,12 @@ FROM documents
 SELECT doc_id, source, n_chars FROM documents
 WHERE (md5_number_lower(doc_id::VARCHAR) >> 1) % 1000 <
       CASE {cases} ELSE {DEFAULT_PERMILLE} END
+"""
+    sql["export_shards"] = """
+SELECT ((md5_number_lower(doc_id::VARCHAR || '#0') >> 1)::BIGINT % 8) AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_t
+FROM documents GROUP BY 1
 """
     sql["source_stats"] = """
 SELECT source,

@@ -384,3 +384,73 @@ def top_keywords(sf_dir: str, *, k: int = 5):
         )
 
     return _tokenized(sf_dir, NOSTEM).map_batches(pick, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- shard export
+
+def export_shards(
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    n_shards: int = 8,
+    seed: int = 0,
+):
+    """Shuffle-shard export for training: every doc goes to shard
+    ``md5_hash63(f"{doc_id}#{seed}") % n_shards`` — a deterministic,
+    cluster-size-independent scatter (a different ``seed`` is a fresh
+    reshuffle). Each shard is written as its OWN parquet directory
+    (``out_dir/shard=K/``) so a failed export resumes per shard and a
+    training job maps one shard to one reader — the resumable-output
+    layout the 100 TB contract requires; within a shard, docs arrive
+    hash-scattered, which is exactly the decorrelation a sequential
+    trainer wants.
+
+    Returns the per-shard manifest (shard, n_docs, n_chars_t) computed
+    with per-batch partial combine + one tiny groupby — the same rows
+    whether or not the parquet write happens (``out_dir=None`` skips
+    the write; the driver's SQL oracle checks the manifest)."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_hash63([f"{int(i)}#{seed}" for i in ids]).astype(np.uint64)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        return batch.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    tagged = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    if out_dir is not None:
+        tagged.write_parquet(out_dir, partition_cols=["shard"])
+        import ray.data as rd
+
+        tagged = rd.read_parquet(out_dir)  # manifest from what was WRITTEN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("shard", pa.int64()), ("n_docs", pa.int64()), ("n_chars_t", pa.int64())]
+            ).empty_table()
+        shard = batch["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(shard)
+        return pa.table(
+            {
+                "shard": pa.array(u, type=pa.int64()),
+                "n_docs": pa.array(
+                    np.bincount(shard, minlength=int(u.max()) + 1)[u], type=pa.int64()
+                ),
+                "n_chars_t": pa.array(
+                    np.bincount(shard, weights=nch, minlength=int(u.max()) + 1)[u].astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"), Sum("n_chars_t", alias_name="n_chars_t")
+        )
+    )

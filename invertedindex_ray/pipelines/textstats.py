@@ -314,3 +314,140 @@ def repetition_stats(sf_dir: str):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------- unigram LM surprisal
+
+def unigram_surprisal(sf_dir: str):
+    """(doc_id, n_tokens, surprisal_r): mean per-token surprisal
+    -ln(count(w)/N) under the corpus's own unigram LM — the classic
+    cheap perplexity proxy for quality filtering (low = boilerplate /
+    repetitive, high = rare-token noise; CCNet/Gopher filter on exactly
+    this signal shape with a KenLM in place of the unigram model).
+
+    Two streaming passes, no driver-side vocabulary:
+    1. wordcount — per-batch partial (w, tf) via np.unique, one
+       groupby(w) of the partials (the only term-keyed shuffle);
+       N = Σtf falls out of the same pass.
+    2. per-doc (doc_id, w, tf) rows hash-join the counts (fan-out
+       derived from data size, never cluster size) and reduce to
+       Σ tf·(-ln(n/N)) / Σ tf per doc.
+    At 100 TB the vocabulary may not fit one machine — that is why the
+    counts table is JOINED, never collected or broadcast."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Sum
+
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import (
+        _materialized_nonempty,
+        _normalize_schema,
+        _pair_join_partitions,
+    )
+
+    def _split(batch: pa.Table):
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(text, " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        words = np.asarray(wl.values.to_pylist(), dtype=object)
+        return offs, words
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([("w", pa.string()), ("tf", pa.int64())]).empty_table()
+        _, words = _split(batch)
+        uw, tf = np.unique(words, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(uw, type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts_schema = pa.schema([("w", pa.string()), ("n", pa.int64())])
+    counts = _normalize_schema(
+        _read_docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("tf", alias_name="n")),
+        counts_schema,
+    )
+    counts, _n_vocab = _materialized_nonempty(counts, counts_schema)
+    n_total = int(counts.aggregate(Sum("n", alias_name="t")).get("t", 0) or 0)
+
+    doc_rows_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.string()), ("tf", pa.int64())]
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return doc_rows_schema.empty_table()
+        offs, words = _split(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        # distinct (doc, w) with tf via composite sort
+        order = np.lexsort((words, doc_idx))
+        dw, ww = doc_idx[order], words[order]
+        new = np.empty(len(ww), dtype=bool)
+        if len(ww):
+            new[0] = True
+            new[1:] = (dw[1:] != dw[:-1]) | (ww[1:] != ww[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(ww)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[dw[starts]], type=pa.int64()),
+                "w": pa.array(ww[starts], type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    rows = _normalize_schema(
+        _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow"),
+        doc_rows_schema,
+    )
+    rows, _ = _materialized_nonempty(rows, doc_rows_schema)
+    joined = rows.join(
+        counts,
+        join_type="inner",  # every (doc, w) has a count by construction
+        num_partitions=_pair_join_partitions(n_docs),
+        on=("w",),
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("s", pa.float64()), ("tf", pa.int64())]
+            ).empty_table()
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "s": pa.array(tf * -np.log(n / n_total), type=pa.float64()),
+                "tf": batch["tf"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(weight, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s_sum"), Sum("tf", alias_name="n_tokens"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": batch["n_tokens"].cast(pa.int64()),
+                "surprisal_r": pa.array(
+                    round_half_up(s / np.maximum(nt, 1.0), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

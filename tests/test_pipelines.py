@@ -444,6 +444,66 @@ class TestRelational:
 
 @pytest.mark.usefixtures("ray_session")
 class TestCuration:
+    def test_export_shards_write_and_readback(self, tmp_path):
+        """The written shard dirs must reproduce the full corpus exactly
+        (no loss, no dup), shard assignment must be deterministic across
+        runs, and the returned manifest must match what is on disk."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import export_shards
+
+        out = str(tmp_path / "shards")
+        manifest = _pdf(export_shards(SF, out, n_shards=4, seed=7))
+        manifest = manifest.sort_values("shard").reset_index(drop=True)
+        assert manifest["n_docs"].sum() == 500
+        shard_dirs = sorted(os.listdir(out))
+        assert shard_dirs == [f"shard={i}" for i in range(4)]
+        seen = {}
+        for sd in shard_dirs:
+            k = int(sd.split("=")[1])
+            t = pq.read_table(
+                os.path.join(out, sd)
+            )
+            row = manifest[manifest["shard"] == k].iloc[0]
+            assert t.num_rows == row["n_docs"]
+            assert int(
+                np.asarray(t["n_chars"].to_pylist()).sum()
+            ) == row["n_chars_t"]
+            for d in t["doc_id"].to_pylist():
+                seen[d] = k
+        assert len(seen) == 500  # every doc exactly once across shards
+        # determinism: same seed -> same manifest; new seed -> reshuffle
+        again = _pdf(export_shards(SF, None, n_shards=4, seed=7)).sort_values(
+            "shard"
+        ).reset_index(drop=True)
+        assert again.equals(manifest)
+        other = _pdf(export_shards(SF, None, n_shards=4, seed=8))
+        assert not other.sort_values("shard").reset_index(drop=True).equals(manifest)
+
+    def test_unigram_surprisal_ordering(self):
+        """Docs made of rare tokens must score higher surprisal than the
+        corpus median; token counts must match a direct split."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import unigram_surprisal
+
+        df = _pdf(unigram_surprisal(SF)).set_index("doc_id")
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        nt = texts.set_index("doc_id")["text"].map(lambda s: len(s.split(" ")))
+        assert (df["n_tokens"].sort_index() == nt.sort_index()).all()
+        # exact oracle on one doc
+        from collections import Counter
+
+        allw = Counter(w for t in texts["text"] for w in t.split(" "))
+        N = sum(allw.values())
+        d0 = texts.iloc[0]
+        ws = d0["text"].split(" ")
+        exp = np.mean([-np.log(allw[w] / N) for w in ws])
+        assert abs(df.loc[d0["doc_id"], "surprisal_r"] - exp) < 1e-5
+
     def test_pii_redact_counts_and_clean(self):
         import re
 
