@@ -215,6 +215,52 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         ann_topk(sf_dir, n_queries=5, k=10)
         queries["ann_topk"] = round(time.time() - t0, 3)
 
+    if "passages" in components:
+        # passage-level exact dedup over the FULL bench corpus (200 K
+        # docs / ~4.5 M passages at sf0.1) — the testdata documents
+        # table is tiny, so derive a documents view of the bench corpus
+        # once (untimed): doc_id = row position, streamed row-group by
+        # row-group (never a driver-side full read)
+        from invertedindex_ray.pipelines.dedup import passage_dedup
+
+        docs_dir = f"/tmp/iidx-bench-docs-{sf}"
+        marker = os.path.join(docs_dir, "documents.parquet")
+        if not os.path.exists(marker):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(docs_dir, exist_ok=True)
+            writer = None
+            next_id = 0
+            try:
+                for fname in sorted(os.listdir(corpus)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    pf = pq.ParquetFile(os.path.join(corpus, fname))
+                    for rg in range(pf.metadata.num_row_groups):
+                        t = pf.read_row_group(rg, columns=["text"])
+                        t = pa.table(
+                            {
+                                "doc_id": pa.array(
+                                    range(next_id, next_id + t.num_rows),
+                                    type=pa.int64(),
+                                ),
+                                "text": t["text"],
+                            }
+                        )
+                        next_id += t.num_rows
+                        if writer is None:
+                            writer = pq.ParquetWriter(marker + ".tmp", t.schema)
+                        writer.write_table(t)
+            finally:
+                if writer is not None:
+                    writer.close()
+            os.rename(marker + ".tmp", marker)
+        t0 = time.time()
+        n_out = passage_dedup(docs_dir).count()
+        queries["dedup_passages"] = round(time.time() - t0, 3)
+        detail["dedup_passages_docs"] = int(n_out)
+
     result = {
         "metric": "e2e_bench_sec",
         "value": round(sum(queries.values()), 3),
@@ -300,6 +346,7 @@ if __name__ == "__main__":
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
-            "BENCH_COMPONENTS", "build,daat,serve,topk_batch,dedup_minhash,ann"
+            "BENCH_COMPONENTS",
+            "build,daat,serve,topk_batch,dedup_minhash,ann,passages",
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))

@@ -181,8 +181,31 @@ def lexicon(sf_dir: str, cfg: IndexConfig = NOSTEM):
         )
 
     parts = _tokenized(sf_dir, cfg).map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("term").aggregate(
-        Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+
+    # vocabulary-keyed merge of the partials: hash-partitioned + one
+    # vectorized factorize/bincount per partition (Ray's per-group
+    # aggregate is ~40x slower on near-unique keys at web-scale vocab —
+    # see dedup._grouped_partitions)
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64())]
+    )
+
+    def sum_per_term(g):
+        import pandas as pd
+
+        codes, terms = pd.factorize(g["term"].to_numpy(), sort=False)
+        df = np.bincount(codes, weights=g["df_p"].to_numpy()).astype(np.int64)
+        cf = np.bincount(codes, weights=g["cf_p"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"term": terms, "df": df, "cf": cf})
+
+    return _grouped_partitions(
+        parts,
+        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        sum_per_term,
+        out_schema,
     )
 
 
@@ -209,10 +232,30 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
         return t.append_column("partial", pa.array(part, type=pa.float64()))
 
     rows = _tokenized(sf_dir, cfg).map_batches(with_partial, batch_format="pyarrow")
-    agg = rows.groupby("term").aggregate(
-        Count(alias_name="df"),
-        Sum("tf", alias_name="cf"),
-        Max("partial", alias_name="maxp"),
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    agg_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64()),
+         ("maxp", pa.float64())]
+    )
+
+    def agg_per_term(g):
+        import pandas as pd
+
+        codes, terms = pd.factorize(g["term"].to_numpy(), sort=False)
+        df = np.bincount(codes).astype(np.int64)
+        cf = np.bincount(codes, weights=g["tf"].to_numpy()).astype(np.int64)
+        maxp = np.full(len(terms), -np.inf)
+        np.fmax.at(maxp, codes, g["partial"].to_numpy())
+        return pd.DataFrame({"term": terms, "df": df, "cf": cf, "maxp": maxp})
+
+    agg = _grouped_partitions(
+        rows,
+        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        agg_per_term,
+        agg_schema,
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -166,12 +166,47 @@ def batch_topk(
             }
         )
 
-    from ray.data.aggregate import Count as Cnt, Sum
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
 
-    per_doc = (
-        scored.map_batches(fanout, batch_format="pyarrow")
-        .groupby(["qid", "doc_id"])
-        .aggregate(Sum("score", alias_name="score"), Cnt(alias_name="n_hit"))
+    per_doc_schema = pa.schema(
+        [("qid", pa.string()), ("doc_id", pa.int64()),
+         ("score", pa.float64()), ("n_hit", pa.int64())]
+    )
+
+    def sum_per_qdoc(g):
+        # (qid, doc)-keyed partial-sum merge — near-unique key, so one
+        # vectorized reduceat per hash partition (dedup._grouped_partitions
+        # rationale); scores are summed in (qid, doc, score) order so the
+        # float result is deterministic across block arrivals
+        import pandas as pd
+
+        q = g["qid"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["score"].to_numpy()
+        qc, quniq = pd.factorize(q, sort=False)
+        order = np.lexsort((s, d, qc))
+        qc, d, s = qc[order], d[order], s[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d):
+            first[1:] = (qc[1:] != qc[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(s, starts) if len(s) else np.empty(0)
+        n_hit = np.diff(np.append(starts, len(d)))
+        return pd.DataFrame(
+            {
+                "qid": quniq[qc[starts]],
+                "doc_id": d[starts].astype(np.int64),
+                "score": sums,
+                "n_hit": n_hit.astype(np.int64),
+            }
+        )
+
+    per_doc = _grouped_partitions(
+        scored.map_batches(fanout, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_per_qdoc,
+        per_doc_schema,
     )
 
     import pandas as pd

@@ -134,6 +134,41 @@ def _rd_empty(schema: pa.Schema):
     return rd.from_arrow(schema.empty_table())
 
 
+def _grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
+                        n_partitions: int = 32):
+    """High-cardinality groupby replacement: tag every row with a hash
+    PARTITION (``part_fn(batch) -> int32 array``, e.g. ``h & 31``), then
+    run ONE vectorized ``group_fn(partition_df) -> DataFrame`` per
+    partition via ``groupby("_p").map_groups``.
+
+    Ray's ``groupby(key).aggregate(...)`` walks rows/groups in Python:
+    measured 76-83 s for a Min over 458 k rows with ~unique keys (both
+    shuffle strategies), vs 1.8 s for this shape — the per-group
+    overhead is the killer when the key is near-unique (content hashes,
+    doc ids, vocabulary terms). Here the grouped key has exactly
+    ``n_partitions`` distinct values, so Ray does one map_groups call
+    per partition and ``group_fn`` reduces its whole partition with
+    numpy (lexsort/unique/bincount/reduceat). All rows of one original
+    key land in one partition, so any per-key reduction stays exact.
+    ``n_partitions`` bounds per-task memory: size it so rows/partition
+    fit a worker (at 100 TB raise it; partitions stream through the
+    same sort machinery the index build uses)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.append_column(
+            "_p", pa.array(part_fn(batch).astype(np.int32), type=pa.int32())
+        )
+
+    return _normalize_schema(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(group_fn, batch_format="pandas"),
+        schema,
+    )
+
+
 def _read_docs(sf_dir: str):
     import ray.data as rd
 
@@ -160,17 +195,33 @@ def exact_dedup(sf_dir: str):
         )
 
     ds = _read_docs(sf_dir).map_batches(with_hash, batch_format="pyarrow")
-    agg = ds.groupby("content_md5").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
-    )
-    return agg.select_columns(["doc_id", "n_dups"]).map_batches(
-        lambda t: pa.table(
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_dups", pa.int64())])
+
+    def min_count_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        # digest-keyed (near-unique) reduction: one vectorized pass per
+        # hash partition instead of Ray's per-group aggregate
+        h = g["content_md5"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.ones(len(h), dtype=bool)
+        if len(h):
+            first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(h)))
+        return pd.DataFrame(
             {
-                "doc_id": t["doc_id"].cast(pa.int64()),
-                "n_dups": t["n_dups"].cast(pa.int64()),
+                "doc_id": d[starts].astype(np.int64),
+                "n_dups": counts.astype(np.int64),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    return _grouped_partitions(
+        ds,
+        lambda b: hash_strings(b["content_md5"].to_pylist()) & np.uint64(31),
+        min_count_per_hash,
+        out_schema,
     )
 
 
@@ -355,29 +406,81 @@ def minhash_lsh_pairs(
 
     band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        # generous cap: guards pathological boilerplate buckets only (the
-        # SQL oracle has no cap, so it must not trigger at check scale);
-        # capped buckets are LOUD (_capped logs every drop)
-        if len(ids) < 2 or _capped("minhash_lsh", len(ids), 2000):
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # buckets are near-unique keys: sort once per hash partition and
+        # loop only over the buckets that hold >= 2 docs. The cap is
+        # generous — it guards pathological boilerplate buckets only
+        # (the SQL oracle has no cap, so it must not trigger at check
+        # scale); capped buckets are LOUD (_capped logs every drop)
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, bh, band))
+        band, bh, d = band[order], bh[order], d[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        multi = np.flatnonzero(ends - starts >= 2)
+        out_a, out_b = [], []
+        for i in multi:
+            ids = np.unique(d[starts[i]:ends[i]])
+            if len(ids) < 2 or _capped("minhash_lsh", len(ids), 2000):
+                continue
+            a, b = np.triu_indices(len(ids), 1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64)}
             )
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pairs = _grouped_partitions(
+        band_rows,
+        lambda b: b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        pairs_per_partition,
+        pairs_schema,
+    )
 
     cand_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
     )
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # same pair surfaces from several bands: count + keep one
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a):
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(a)))
+        return pd.DataFrame(
+            {
+                "doc_a": a[starts].astype(np.int64),
+                "doc_b": b[starts].astype(np.int64),
+                "n_bands": n.astype(np.int64),
+            }
+        )
+
     cand, n_cand = _materialized_nonempty(
-        _normalize_schema(
-            band_rows.groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            # same pair surfaces from several bands: distributed dedupe
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands")),
+        _grouped_partitions(
+            pairs,
+            lambda t: (
+                _mix64(t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                ^ t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            & np.uint64(31),
+            dedupe_pairs,
             cand_schema,
         ),
         cand_schema,
@@ -507,33 +610,98 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, tau: float = 0.5):
         .materialize()  # reused: set sizes + co-occurrence pairs
     )
     sizes_schema = pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64())])
+
+    def count_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy())
+        first = np.ones(len(d), dtype=bool)
+        if len(d):
+            first[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                "doc_id": d[starts].astype(np.int64),
+                "n_shingles": np.diff(np.append(starts, len(d))).astype(np.int64),
+            }
+        )
+
     sizes, _n_sizes = _materialized_nonempty(
-        _normalize_schema(
-            rows.groupby("doc_id").aggregate(Count(alias_name="n_shingles")),
+        _grouped_partitions(
+            rows,
+            lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            & np.uint64(31),
+            count_per_doc,
             sizes_schema,
         ),
         sizes_schema,
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2 or _capped("ngram_jaccard", len(ids), 500):
+    shpairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["shingle"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, sh))
+        sh, d = sh[order], d[order]
+        new = np.ones(len(d), dtype=bool)
+        if len(d):
+            new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        multi = np.flatnonzero(ends - starts >= 2)
+        out_a, out_b = [], []
+        for i in multi:
+            ids = np.unique(d[starts[i]:ends[i]])
+            if len(ids) < 2 or _capped("ngram_jaccard", len(ids), 500):
+                continue
+            a, b = np.triu_indices(len(ids), 1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64)}
             )
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a):
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                "doc_a": a[starts].astype(np.int64),
+                "doc_b": b[starts].astype(np.int64),
+                "inter": np.diff(np.append(starts, len(a))).astype(np.int64),
+            }
+        )
 
     co_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64())]
     )
     co, n_co = _materialized_nonempty(
-        _normalize_schema(
-            rows.groupby("shingle")
-            .map_groups(pairs_in_bucket, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="inter")),
+        _grouped_partitions(
+            _grouped_partitions(
+                rows,
+                lambda b: b["shingle"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                & np.uint64(31),
+                pairs_per_partition,
+                shpairs_schema,
+            ),
+            lambda t: (
+                _mix64(t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                ^ t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            & np.uint64(31),
+            count_pairs,
             co_schema,
         ),
         co_schema,
@@ -635,36 +803,89 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    hpairs_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def bucket_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
         # cap guards pathological boilerplate buckets (vectorized O(n^2)
         # compare inside); generous because identical-fingerprint docs
         # (e.g. wordless ones, fp=0) legitimately cluster in one bucket;
         # capped buckets log loudly (_capped)
-        if len(g) < 2 or _capped("simhash", len(g), 2000):
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((d, key, band))
+        band, key, d, hs = band[order], key[order], d[order], hs[order]
+        new = np.ones(len(d), dtype=bool)
+        if len(d):
+            new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        multi = np.flatnonzero(ends - starts >= 2)
+        out = []
+        for i in multi:
+            s, e = starts[i], ends[i]
+            ids_b, hs_b = d[s:e], hs[s:e]
+            uniq = np.ones(e - s, dtype=bool)
+            uniq[1:] = ids_b[1:] != ids_b[:-1]  # ids sorted within bucket
+            ids_b, hs_b = ids_b[uniq], hs_b[uniq]
+            if len(ids_b) < 2 or _capped("simhash", len(ids_b), 2000):
+                continue
+            a, b = np.triu_indices(len(ids_b), 1)
+            ham = popcount64(hs_b[a] ^ hs_b[b])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append((ids_b[a][keep], ids_b[b][keep], ham[keep]))
+        if not out:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64),
                  "hamming": pd.Series([], dtype=np.int64)}
             )
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(len(ids), 1)
-        ham = popcount64(hs[a] ^ hs[b])
-        keep = ham <= max_hamming
         return pd.DataFrame(
-            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
+            {
+                "doc_a": np.concatenate([o[0] for o in out]),
+                "doc_b": np.concatenate([o[1] for o in out]),
+                "hamming": np.concatenate([o[2] for o in out]).astype(np.int64),
+            }
         )
 
-    pairs = (
-        fp.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def min_ham_per_pair(g: pd.DataFrame) -> pd.DataFrame:
         # a pair can surface from several bands: distributed dedupe
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .sort(["doc_a", "doc_b"])
-    )
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        h = g["hamming"].to_numpy()
+        order = np.lexsort((h, b, a))
+        a, b, h = a[order], b[order], h[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a):
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame(
+            {
+                "doc_a": a[first].astype(np.int64),
+                "doc_b": b[first].astype(np.int64),
+                "hamming": h[first].astype(np.int64),
+            }
+        )
+
+    pairs = _grouped_partitions(
+        _grouped_partitions(
+            fp.map_batches(band_rows, batch_format="pyarrow"),
+            lambda t: t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            & np.uint64(31),
+            bucket_pairs_partition,
+            hpairs_schema,
+        ),
+        lambda t: (
+            _mix64(t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            ^ t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        & np.uint64(31),
+        min_ham_per_pair,
+        hpairs_schema,
+    ).sort(["doc_a", "doc_b"])
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -680,7 +901,8 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
 
 # ------------------------------------------------- passage-level exact dedup
 
-def passage_dedup(sf_dir: str, *, words_per_passage: int = 8):
+def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
+                  broadcast_max_docs: int = 500_000):
     """Passage-level exact dedup (Lee et al., "Deduplicating Training
     Data Makes Language Models Better", ACL 2022 — their EXACTSUBSTR at
     fixed granularity): docs are tiled into non-overlapping
@@ -694,12 +916,19 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8):
 
     Scale shape: the corpus-wide shuffle moves only 16 B (hash, key)
     rows — passage TEXT never leaves the mapper; the winner set comes
-    from one ``groupby(h).min(key)``, per-doc surviving ordinals are
-    gathered by a second slim groupby, and the text is re-cut from the
-    original docs in a final hash-join + vectorized slice (Arrow
-    ``split_pattern``/``binary_join``; no per-word Python). Passage
-    hashing is md5-based (md5_hash63) so the DuckDB oracle reproduces
-    the grouping bit-for-bit.
+    from one ``groupby(h).min(key)``. The per-doc gather then collects
+    the DELETED ordinals, not the kept ones: duplicates are a small
+    fraction of a web corpus (that is why dedup is worth running), so
+    the join back to the winners and the per-doc group step touch only
+    the docs that actually LOSE passages — the overwhelming no-dup
+    majority flows straight to the final left-join with a NULL side.
+    (The first cut of this pipeline gathered KEPT ordinals per doc via
+    ``groupby(doc_id).map_groups`` over every doc — Ray's per-group
+    overhead made that the bottleneck at ~2 ms/doc.) Text is re-cut
+    from the original docs in the final hash-join with a vectorized
+    complement slice (Arrow ``split_pattern``/``binary_join``; no
+    per-word Python). Passage hashing is md5-based (md5_hash63) so the
+    DuckDB oracle reproduces the grouping bit-for-bit.
     """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_mod
@@ -739,45 +968,79 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8):
         )
 
     docs_path = f"{sf_dir}/documents.parquet"
-    winners = (
-        _read_docs(sf_dir)
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("key", alias_name="key"))
+    # data-derived read fan-out: the docs often sit in one parquet file
+    # smaller than Ray's 128 MB block target, which would collapse the
+    # md5-heavy explode into 1-2 tasks; ~10k docs per block keeps every
+    # core busy and is a pure function of the DATA (never cluster size)
+    n_docs = pq_mod.ParquetFile(docs_path).metadata.num_rows
+    read_blocks = int(max(8, min(512, n_docs // 10_000 + 1)))
+
+    def _docs_blocks():
+        import ray.data as rd
+
+        return rd.read_parquet(
+            docs_path, columns=["doc_id", "text"], override_num_blocks=read_blocks
+        )
+
+    # ONE hash-partitioned pass finds the deleted instances: all rows of
+    # a hash land in one partition, so the non-min keys per h ARE the
+    # deleted (doc, ord) instances — no winners table, no join back.
+    dels_schema = pa.schema([("doc_id", pa.int64()), ("ord", pa.int64())])
+
+    def non_first_per_h(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        k = g["key"].to_numpy()
+        order = np.lexsort((k, h))
+        hh, kk = h[order], k[order]
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = hh[1:] != hh[:-1]
+        losers = kk[~first]
+        return pd.DataFrame(
+            {"doc_id": losers // M, "ord": losers % M}
+        )
+
+    dels = _grouped_partitions(
+        _docs_blocks().map_batches(explode, batch_format="pyarrow"),
+        lambda b: b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        non_first_per_h,
+        dels_schema,
     )
 
-    def per_doc_ords(g: pd.DataFrame) -> pd.DataFrame:
-        # all rows in g share one doc_id; ords are encoded as a sorted
-        # space-joined string so no list-typed column crosses the join
-        ords = np.sort(g["ord"].to_numpy())
+    def per_partition_dels(g: pd.DataFrame) -> pd.DataFrame:
+        # only docs that LOSE passages reach this step; ords become a
+        # sorted space-joined string so no list column crosses the join.
+        # The python loop is over DOCS WITH DELETIONS in this partition
+        # (a small slice of the corpus), not over rows.
+        d = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        order = np.lexsort((o, d))
+        d, o = d[order], o[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(d))
         return pd.DataFrame(
             {
-                "doc_id": [int(g["doc_id"].iloc[0])],
-                "ords": [" ".join(map(str, ords))],
-                "n_kept": [np.int64(len(ords))],
+                "doc_id": d[starts].astype(np.int64),
+                "del_ords": [
+                    " ".join(map(str, o[s:e])) for s, e in zip(starts, ends)
+                ],
+                "n_del": (ends - starts).astype(np.int64),
             }
         )
 
-    kept_schema = pa.schema(
-        [("doc_id", pa.int64()), ("ords", pa.string()), ("n_kept", pa.int64())]
+    del_schema = pa.schema(
+        [("doc_id", pa.int64()), ("del_ords", pa.string()), ("n_del", pa.int64())]
     )
-    kept = _normalize_schema(
-        winners.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pc.divide(t["key"], M).cast(pa.int64()),
-                    "ord": pc.subtract(
-                        t["key"], pc.multiply(pc.divide(t["key"], M), M)
-                    ).cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .map_groups(per_doc_ords, batch_format="pandas"),
-        kept_schema,
+    del_rows = _grouped_partitions(
+        dels,
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        per_partition_dels,
+        del_schema,
     )
-    kept, n_kept_docs = _materialized_nonempty(kept, kept_schema)
+    del_rows, n_del_docs = _materialized_nonempty(del_rows, del_schema)
 
     out_schema = pa.schema(
         [
@@ -789,69 +1052,142 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8):
     )
 
     def reconstruct(batch: pa.Table) -> pa.Table:
+        """Docs with no deleted passage pass their text through VERBATIM
+        (the overwhelming majority — zero re-cut work, n_words via one
+        count_substring scan); only docs that lose a passage run the
+        word-level complement slice."""
         if batch.num_rows == 0:
             return out_schema.empty_table()
         text = batch["text"]
         text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-        wl = pc.split_pattern(text, " ")
-        offs = wl.offsets.to_numpy().astype(np.int64)
-        flat = wl.values
-        n_words = np.diff(offs)
+        n_words = pc.add(pc.count_substring(text, " "), 1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         n_paras = (n_words + W - 1) // W
-        n_kept = (
-            pc.fill_null(batch["n_kept"], 0)
+        ndocs = len(n_paras)
+        n_del = (
+            pc.fill_null(batch["n_del"], 0)
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        ords_col = batch["ords"]
-        ords_col = (
-            ords_col.combine_chunks()
-            if isinstance(ords_col, pa.ChunkedArray)
-            else ords_col
-        )
-        valid = pc.is_valid(ords_col)
-        nonempty = pc.and_(valid, pc.not_equal(pc.coalesce(ords_col, ""), ""))
-        filt = ords_col.filter(nonempty)
-        if len(filt):
-            ol = pc.split_pattern(filt, " ")
-            flat_ords = ol.values.cast(pa.int64()).to_numpy().astype(np.int64)
-        else:
-            flat_ords = np.empty(0, dtype=np.int64)
-        # flat_ords aligns row-order with the docs that have n_kept > 0
-        doc_starts = np.repeat(offs[:-1], n_kept)
-        c_starts = doc_starts + W * flat_ords
-        c_ends = np.minimum(c_starts + W, np.repeat(offs[1:], n_kept))
-        lens = c_ends - c_starts
-        tot = int(lens.sum())
-        l_off = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=l_off[1:])
-        word_idx = np.repeat(c_starts, lens) + (
-            np.arange(tot, dtype=np.int64) - np.repeat(l_off[:-1], lens)
-        )
-        gathered = flat.take(pa.array(word_idx, type=pa.int64()))
-        # per-doc word offsets: segment `lens` by each doc's n_kept
-        k_off = np.zeros(len(n_kept) + 1, dtype=np.int64)
-        np.cumsum(n_kept, out=k_off[1:])
-        doc_word_counts = l_off[k_off[1:]] - l_off[k_off[:-1]]
-        d_off = np.zeros(len(n_kept) + 1, dtype=np.int64)
-        np.cumsum(doc_word_counts, out=d_off[1:])
-        la2 = pa.ListArray.from_arrays(pa.array(d_off.astype(np.int32)), gathered)
-        text_dedup = pc.binary_join(la2, " ")
+        text_out = text
+        if (n_del > 0).any():
+            aff = np.flatnonzero(n_del > 0)
+            sub_text = text.take(pa.array(aff, type=pa.int64()))
+            wl = pc.split_pattern(sub_text, " ")
+            offs = wl.offsets.to_numpy().astype(np.int64)
+            flat = wl.values
+            sub_paras = n_paras[aff]
+            sub_del = n_del[aff]
+            ords_col = batch["del_ords"]
+            ords_col = (
+                ords_col.combine_chunks()
+                if isinstance(ords_col, pa.ChunkedArray)
+                else ords_col
+            )
+            ol = pc.split_pattern(ords_col.take(pa.array(aff, type=pa.int64())), " ")
+            flat_del = ol.values.cast(pa.int64()).to_numpy().astype(np.int64)
+            nsub = len(aff)
+            cb = np.zeros(nsub + 1, dtype=np.int64)
+            np.cumsum(sub_paras, out=cb[1:])
+            keep_mask = np.ones(int(cb[-1]), dtype=bool)
+            del_doc = np.repeat(np.arange(nsub, dtype=np.int64), sub_del)
+            keep_mask[cb[del_doc] + flat_del] = False
+            kept_idx = np.flatnonzero(keep_mask)
+            doc_of = np.repeat(np.arange(nsub, dtype=np.int64), sub_paras)[kept_idx]
+            ord_kept = kept_idx - cb[doc_of]
+            c_starts = offs[:-1][doc_of] + W * ord_kept
+            c_ends = np.minimum(c_starts + W, offs[1:][doc_of])
+            lens = c_ends - c_starts
+            tot = int(lens.sum())
+            l_off = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=l_off[1:])
+            word_idx = np.repeat(c_starts, lens) + (
+                np.arange(tot, dtype=np.int64) - np.repeat(l_off[:-1], lens)
+            )
+            gathered = flat.take(pa.array(word_idx, type=pa.int64()))
+            d_starts = offs[:-1][del_doc] + W * flat_del
+            d_lens = np.minimum(d_starts + W, offs[1:][del_doc]) - d_starts
+            del_words = np.bincount(del_doc, weights=d_lens, minlength=nsub).astype(
+                np.int64
+            )
+            d_off = np.zeros(nsub + 1, dtype=np.int64)
+            np.cumsum(n_words[aff] - del_words, out=d_off[1:])
+            la2 = pa.ListArray.from_arrays(pa.array(d_off.astype(np.int32)), gathered)
+            sub_out = pc.binary_join(la2, " ")
+            # scatter the re-cut docs back into the verbatim column via a
+            # take permutation (no Python round-trip of the batch's text)
+            unaff = np.flatnonzero(n_del == 0)
+            combined = pa.concat_arrays(
+                [
+                    text.take(pa.array(unaff, type=pa.int64())).combine_chunks()
+                    if isinstance(text, pa.ChunkedArray)
+                    else text.take(pa.array(unaff, type=pa.int64())),
+                    sub_out,
+                ]
+            )
+            src = np.empty(ndocs, dtype=np.int64)
+            src[unaff] = np.arange(len(unaff), dtype=np.int64)
+            src[aff] = len(unaff) + np.arange(len(aff), dtype=np.int64)
+            text_out = combined.take(pa.array(src, type=pa.int64()))
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "n_paras": pa.array(n_paras, type=pa.int64()),
-                "n_kept": pa.array(n_kept, type=pa.int64()),
-                "text_dedup": text_dedup,
+                "n_kept": pa.array(n_paras - n_del, type=pa.int64()),
+                "text_dedup": text_out,
             }
         )
 
-    n_docs = pq_mod.ParquetFile(docs_path).metadata.num_rows
-    joined = _read_docs(sf_dir).join(
-        kept,
+    if n_del_docs <= broadcast_max_docs:
+        # small deletion set (the common case — dedup exists because
+        # dups are the minority): broadcast it once and stream the docs
+        # straight through reconstruct, skipping the hash join entirely
+        # (same small-side-broadcast design as minhash's
+        # broadcast_max_pairs)
+        import ray
+
+        t = (
+            pa.Table.from_pylist(del_rows.take_all())
+            if n_del_docs
+            else del_schema.empty_table()
+        )
+        lookup = {
+            int(d): (s, int(n))
+            for d, s, n in zip(
+                t["doc_id"].to_pylist(),
+                t["del_ords"].to_pylist(),
+                t["n_del"].to_pylist(),
+            )
+        }
+        ref = ray.put(lookup)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            lk = _ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            vals = [lk.get(int(i)) for i in ids]
+            batch = batch.append_column(
+                "del_ords",
+                pa.array([v[0] if v else None for v in vals], type=pa.string()),
+            )
+            batch = batch.append_column(
+                "n_del",
+                pa.array([v[1] if v else None for v in vals], type=pa.int64()),
+            )
+            return reconstruct(batch)
+
+        return _docs_blocks().map_batches(attach, batch_format="pyarrow")
+
+    # doc-side rows carry full text (~KB each), so the fan-out is denser
+    # than the slim-pair formula: ~20k docs per partition, data-derived
+    doc_parts = int(max(2, min(64, 1 + n_docs // 20_000)))
+    joined = _docs_blocks().join(
+        del_rows,
         join_type="left_outer",
-        num_partitions=_pair_join_partitions(n_docs),
+        num_partitions=doc_parts,
         on=("doc_id",),
     )
     return joined.map_batches(reconstruct, batch_format="pyarrow")

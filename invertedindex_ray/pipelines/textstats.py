@@ -338,8 +338,10 @@ def unigram_surprisal(sf_dir: str):
     import pyarrow.parquet as pq_mod
     from ray.data.aggregate import Sum
 
+    from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.functions.rounding import round_half_up
     from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
         _materialized_nonempty,
         _normalize_schema,
         _pair_join_partitions,
@@ -366,11 +368,21 @@ def unigram_surprisal(sf_dir: str):
         )
 
     counts_schema = pa.schema([("w", pa.string()), ("n", pa.int64())])
-    counts = _normalize_schema(
-        _read_docs(sf_dir)
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("tf", alias_name="n")),
+
+    def sum_per_w(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        codes, uw = pd.factorize(g["w"].to_numpy(), sort=False)
+        n = np.bincount(codes, weights=g["tf"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"w": uw, "n": n})
+
+    # vocabulary-keyed aggregate: hash-partitioned + one vectorized
+    # factorize/bincount per partition (Ray's per-group aggregate path
+    # is ~40x slower on near-unique keys — see dedup._grouped_partitions)
+    counts = _grouped_partitions(
+        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pyarrow"),
+        lambda b: hash_strings(b["w"].to_pylist()) & np.uint64(31),
+        sum_per_w,
         counts_schema,
     )
     counts, _n_vocab = _materialized_nonempty(counts, counts_schema)
@@ -431,10 +443,27 @@ def unigram_surprisal(sf_dir: str):
             }
         )
 
-    agg = (
-        joined.map_batches(weight, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("s", alias_name="s_sum"), Sum("tf", alias_name="n_tokens"))
+    agg_schema = pa.schema(
+        [("doc_id", pa.int64()), ("s_sum", pa.float64()), ("n_tokens", pa.int64())]
+    )
+
+    def sum_per_doc(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        d = g["doc_id"].to_numpy()
+        order = np.argsort(d, kind="stable")  # deterministic float order
+        d = d[order]
+        codes, uids = pd.factorize(d, sort=False)
+        s = np.bincount(codes, weights=g["s"].to_numpy()[order])
+        nt = np.bincount(codes, weights=g["tf"].to_numpy()[order]).astype(np.int64)
+        return pd.DataFrame({"doc_id": uids, "s_sum": s, "n_tokens": nt})
+
+    agg = _grouped_partitions(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_per_doc,
+        agg_schema,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
