@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
+        "quality_filter": lambda sf: textstats.quality_filter(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1314,6 +1315,23 @@ SELECT doc_id, term, tfidf_r, rn::BIGINT AS rank FROM r WHERE rn <= 5
     # plain operators' SQL mirrors verbatim.
     for op in ("sessionize", "late_events", "asof_join", "range_join"):
         sql[op + "_scalable"] = sql[op]
+    # composite quality filter: reuse the quality + repetition mirrors as
+    # subqueries and apply the SAME thresholds to the SAME 6-dp-rounded
+    # signals (FILTER_RULES bit order, pipelines/textstats.quality_filter)
+    sql["quality_filter"] = f"""
+WITH q AS ({sql["quality_score"].strip()}),
+r AS ({sql["repetition_stats"].strip()}),
+m AS (
+  SELECT q.doc_id, r.n_words,
+    (CASE WHEN r.n_words < 20 THEN 1 ELSE 0 END
+     + CASE WHEN r.n_words > 100000 THEN 2 ELSE 0 END
+     + CASE WHEN q.alpha_ratio_r < 0.8 THEN 4 ELSE 0 END
+     + CASE WHEN q.stop_ratio_r < 0.02 THEN 8 ELSE 0 END
+     + CASE WHEN r.top_word_ratio_r > 0.15 THEN 16 ELSE 0 END
+     + CASE WHEN r.dup_bigram_ratio_r > 0.06 THEN 32 ELSE 0 END)::BIGINT AS fail_mask
+  FROM q JOIN r USING (doc_id))
+SELECT doc_id, n_words, (fail_mask = 0)::BIGINT AS keep, fail_mask FROM m
+"""
     # the merged index must be indistinguishable from one full build, so
     # its lexicon shares the full-corpus term_upper_bounds mirror verbatim
     sql["merged_index_tub"] = sql["term_upper_bounds"]

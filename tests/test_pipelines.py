@@ -504,6 +504,31 @@ class TestCuration:
         exp = np.mean([-np.log(allw[w] / N) for w in ws])
         assert abs(df.loc[d0["doc_id"], "surprisal_r"] - exp) < 1e-5
 
+    def test_quality_filter_mask_consistent_with_signals(self):
+        """The fused one-pass verdict must agree rule-by-rule with the
+        standalone quality_score / repetition_stats pipelines at the
+        same thresholds (and actually drop something)."""
+        from invertedindex_ray.pipelines.textstats import (
+            quality_filter,
+            quality_score,
+            repetition_stats,
+        )
+
+        f = _pdf(quality_filter(SF)).set_index("doc_id").sort_index()
+        q = _pdf(quality_score(SF)).set_index("doc_id").sort_index()
+        r = _pdf(repetition_stats(SF)).set_index("doc_id").sort_index()
+        mask = (
+            (r["n_words"] < 20) * 1
+            + (r["n_words"] > 100_000) * 2
+            + (q["alpha_ratio_r"] < 0.8) * 4
+            + (q["stop_ratio_r"] < 0.02) * 8
+            + (r["top_word_ratio_r"] > 0.15) * 16
+            + (r["dup_bigram_ratio_r"] > 0.06) * 32
+        )
+        assert (f["fail_mask"] == mask).all()
+        assert (f["keep"] == (mask == 0).astype(int)).all()
+        assert 0 < f["keep"].sum() < len(f)  # the filter must bite
+
     def test_pii_redact_counts_and_clean(self):
         import re
 
