@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": lambda sf: curation.export_shards(
             sf, None, n_shards=8, seed=0
         ),
+        "pack_sequences": lambda sf: curation.pack_sequences(
+            sf, seq_len=512, n_shards=8, seed=0
+        ),
         "contamination_check": lambda sf: curation.contamination_check(sf),
         "top_keywords": lambda sf: curation.top_keywords(sf),
         # --- multimodal plumbing ---
@@ -1273,6 +1276,24 @@ SELECT ((md5_number_lower(doc_id::VARCHAR || '#0') >> 1)::BIGINT % 8) AS shard,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS n_chars_t
 FROM documents GROUP BY 1
+"""
+    # concat-and-chunk sequence packing: same shard scatter as
+    # export_shards, docs concatenated per shard in doc_id order, tiled
+    # into 512-word sequences (last partial kept) — zip-unnest chunking
+    # exactly like the dedup_passages mirror
+    sql["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         ((md5_number_lower(doc_id::VARCHAR || '#0') >> 1)::BIGINT % 8) AS shard
+  FROM documents
+),
+s AS (SELECT shard, string_agg(text, ' ' ORDER BY doc_id) AS alltext FROM t GROUP BY shard),
+w AS (SELECT shard, string_split(alltext, ' ') AS ws FROM s),
+c AS (SELECT shard, unnest(range(CAST(ceil(len(ws)/512.0) AS BIGINT))) AS seq_idx, ws FROM w)
+SELECT shard, seq_idx,
+       least(512, len(ws) - seq_idx*512)::BIGINT AS n_words,
+       array_to_string(ws[seq_idx*512+1 : seq_idx*512+512], ' ') AS text_packed
+FROM c
 """
     sql["source_stats"] = """
 SELECT source,

@@ -454,3 +454,115 @@ def export_shards(
             Sum("n_docs", alias_name="n_docs"), Sum("n_chars_t", alias_name="n_chars_t")
         )
     )
+
+
+# ------------------------------------------------------- sequence packing
+
+def pack_sequences(
+    sf_dir: str,
+    *,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: int = 0,
+):
+    """Pack documents into fixed-length training sequences: docs are
+    scattered to ``md5(doc_id#seed) % n_shards`` shards (the same
+    deterministic scatter as :func:`export_shards`, so packing and
+    shard export agree), concatenated within each shard in doc_id
+    order, and tiled into ``seq_len``-word sequences (the standard
+    concat-and-chunk packing an LLM dataloader performs; the last
+    partial sequence of each shard is kept).
+
+    Returns (shard, seq_idx, n_words, text_packed). One shuffle keyed
+    by shard; each shard packs in ONE vectorized pass (Arrow
+    split_pattern + offset math + binary_join — no per-word Python).
+    Contract: one shard's text must fit one task — size ``n_shards``
+    so corpus/n_shards fits a worker (at 100 TB that means thousands
+    of shards; the scatter hash is uniform so shards balance)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    out_schema = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("seq_idx", pa.int64()),
+            ("n_words", pa.int64()),
+            ("text_packed", pa.string()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> np.ndarray:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_hash63([f"{int(i)}#{seed}" for i in ids]).astype(np.uint64)
+        return (h % np.uint64(n_shards)).astype(np.uint64)
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # the partition may hold SEVERAL shards (hash partitions are a
+        # superset); pack each shard independently, docs in doc_id order
+        ids = g["doc_id"].to_numpy()
+        shards = g["_shard"].to_numpy()
+        order = np.lexsort((ids, shards))
+        texts = pa.array(g["text"].to_numpy()[order], type=pa.string())
+        shards = shards[order]
+        wl = pc.split_pattern(texts, " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        flat = wl.values
+        n_words_doc = np.diff(offs)
+        # per-shard word spans (docs of one shard are contiguous after sort)
+        new = np.ones(len(shards), dtype=bool)
+        if len(shards):
+            new[1:] = shards[1:] != shards[:-1]
+        d_starts = np.flatnonzero(new)
+        d_ends = np.append(d_starts[1:], len(shards))
+        frames = []
+        for s, e in zip(d_starts, d_ends):
+            shard = int(shards[s])
+            w0, w1 = offs[s], offs[e - 1] + n_words_doc[e - 1]
+            total = int(w1 - w0)
+            n_seq = (total + seq_len - 1) // seq_len
+            starts = w0 + seq_len * np.arange(n_seq, dtype=np.int64)
+            seq_offs = np.append(starts, w1).astype(np.int32)
+            la = pa.ListArray.from_arrays(pa.array(seq_offs), flat)
+            packed = pc.binary_join(la, " ")
+            lens = np.minimum(starts + seq_len, w1) - starts
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "shard": np.full(n_seq, shard, dtype=np.int64),
+                        "seq_idx": np.arange(n_seq, dtype=np.int64),
+                        "n_words": lens.astype(np.int64),
+                        "text_packed": packed.to_pylist(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype=np.int64),
+                    "seq_idx": pd.Series([], dtype=np.int64),
+                    "n_words": pd.Series([], dtype=np.int64),
+                    "text_packed": pd.Series([], dtype=str),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def with_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.append_column(
+            "_shard", pa.array(tag(batch).astype(np.int64), type=pa.int64())
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_shard, batch_format="pyarrow"
+    )
+    return _grouped_partitions(
+        docs,
+        lambda b: b["_shard"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        % np.uint64(n_shards),
+        pack_shard,
+        out_schema,
+        n_partitions=n_shards,
+    )

@@ -482,6 +482,32 @@ class TestCuration:
         other = _pdf(export_shards(SF, None, n_shards=4, seed=8))
         assert not other.sort_values("shard").reset_index(drop=True).equals(manifest)
 
+    def test_pack_sequences_conserves_words(self):
+        """Packing must conserve every word: Σ n_words == corpus words,
+        every non-final sequence of a shard is exactly seq_len words,
+        and re-splitting the packed text reproduces the shard's doc
+        stream in doc_id order."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions.hashing import md5_hash63
+        from invertedindex_ray.pipelines.curation import pack_sequences
+
+        L = 64
+        df = _pdf(pack_sequences(SF, seq_len=L, n_shards=4, seed=0))
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        total_words = int(docs["text"].map(lambda s: len(s.split(" "))).sum())
+        assert int(df["n_words"].sum()) == total_words
+        for shard, g in df.groupby("shard"):
+            g = g.sort_values("seq_idx")
+            assert (g["n_words"].iloc[:-1] == L).all()  # only the tail is short
+            assert list(g["seq_idx"]) == list(range(len(g)))
+            # stream equality vs a direct per-shard concat
+            h = md5_hash63([f"{int(i)}#0" for i in docs["doc_id"]])
+            mine = docs[(h % 4) == shard].sort_values("doc_id")
+            expect = " ".join(mine["text"])
+            assert " ".join(g["text_packed"]) == expect
+
     def test_unigram_surprisal_ordering(self):
         """Docs made of rare tokens must score higher surprisal than the
         corpus median; token counts must match a direct split."""
