@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_terms": lambda sf: __import__(
             "invertedindex_ray.pipelines.sketches", fromlist=["x"]
         ).hll_distinct_terms(sf),
+        # bloom: n_bits_set/fp-estimate are construction-dependent, so
+        # only the exactness claims carry an oracle — n_docs and the
+        # no-false-negative flag (all_members = 1 always)
+        "bloom_membership": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).bloom_membership(sf).select(["n_docs", "all_members"]),
         # --- text analysis ---
         "token_count": lambda sf: textstats.token_count(sf),
         "quality_score": lambda sf: textstats.quality_score(sf),
@@ -1270,6 +1276,12 @@ FROM documents
 SELECT doc_id, source, n_chars FROM documents
 WHERE (md5_number_lower(doc_id::VARCHAR) >> 1) % 1000 <
       CASE {cases} ELSE {DEFAULT_PERMILLE} END
+"""
+    # bloom filter: the no-false-negative guarantee is exact — every doc
+    # must probe positive — and n_docs is exact; the occupancy/fp-rate
+    # columns are construction-dependent and stay pytest-only
+    sql["bloom_membership"] = """
+SELECT count(*)::BIGINT AS n_docs, 1::BIGINT AS all_members FROM documents
 """
     sql["export_shards"] = """
 SELECT ((md5_number_lower(doc_id::VARCHAR || '#0') >> 1)::BIGINT % 8) AS shard,

@@ -161,11 +161,16 @@ def _grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
             "_p", pa.array(part_fn(batch).astype(np.int32), type=pa.int32())
         )
 
-    return _normalize_schema(
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_p")
-        .map_groups(group_fn, batch_format="pandas"),
-        schema,
+    # the leading typed-empty block pins the output schema even when the
+    # input is fully empty (map_batches skips empty blocks, so
+    # _normalize_schema alone cannot type them)
+    return _rd_empty(schema).union(
+        _normalize_schema(
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(group_fn, batch_format="pandas"),
+            schema,
+        )
     )
 
 

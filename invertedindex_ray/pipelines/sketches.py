@@ -229,3 +229,125 @@ def hll_distinct_terms(sf_dir: str, *, p: int = 12):
     return pa.table(
         {"n_distinct_est": pa.array([int(round(_hll_estimate(reg)))], type=pa.int64())}
     )
+
+
+# ------------------------------------------------------------- bloom filter
+
+def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing (Kirsch-Mitzenmacher:
+    pos_i = h1 + i*h2 mod m — k independent-enough probes from two
+    64-bit halves of one hash)."""
+    h = hashes.astype(np.uint64)
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(32)) % np.uint64(m) | np.uint64(1)  # odd => full cycle
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).reshape(-1)
+
+
+def _bloom_batch_bits(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    bits = np.zeros(m, dtype=bool)
+    if len(hashes):
+        bits[_bloom_positions(hashes, m, k)] = True
+    return bits
+
+
+def bloom_build(sf_dir: str, *, m: int = 1 << 20, k: int = 7) -> np.ndarray:
+    """Mergeable Bloom filter over the corpus's exact content digests
+    (md5 of text) — the crawl-frontier / cross-corpus membership
+    sketch: "has this exact document been seen before?" in O(1) per
+    probe with ZERO false negatives and a tunable false-positive rate
+    ((1-e^{-kn/m})^k; ~0.6% at n=100k, m=2^20, k=7).
+
+    Each batch reduces to one m-bit row (128 KB at m=2^20); rows merge
+    by elementwise OR, so the corpus collapses to a fixed-size filter
+    with no shuffle at all — same mergeable-sketch shape as the CMS and
+    HLL. At 100 TB, per-block filters OR pairwise in a tree; the final
+    filter broadcasts to dedup/frontier workers via ray.put."""
+    import hashlib as _hashlib
+
+    def batch_bits(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hashlib.md5((t or "").encode("utf-8")).digest()[:8], "little"
+                )
+                for t in texts
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+        bits = _bloom_batch_bits(h, m, k)
+        return pa.table(
+            {"bits": pa.array([np.packbits(bits).tobytes()], type=pa.binary())}
+        )
+
+    rows = (
+        _read_docs(sf_dir)
+        .map_batches(batch_bits, batch_format="pyarrow")
+        .take_all()
+    )  # one fixed-size row per batch: bounded driver merge
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def bloom_membership(sf_dir: str, *, m: int = 1 << 20, k: int = 7):
+    """(n_docs, n_bits_set, fp_rate_est_r, all_members): build the
+    corpus Bloom filter and verify EVERY corpus digest probes positive
+    (the no-false-negative guarantee, checked distributively: the
+    filter broadcasts once via ray.put and each batch probes its own
+    docs). fp_rate_est_r = (bits_set/m)^k rounded to 6 — the standard
+    occupancy estimate of the false-positive rate."""
+    import hashlib as _hashlib
+
+    import ray
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    bits = bloom_build(sf_dir, m=m, k=k)
+    ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        b = _ray.get(ref)
+        texts = batch["text"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    _hashlib.md5((t or "").encode("utf-8")).digest()[:8], "little"
+                )
+                for t in texts
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+        if len(h):
+            pos = _bloom_positions(h, m, k).reshape(k, len(h))
+            member = b[pos].all(axis=0)
+        else:
+            member = np.zeros(0, dtype=bool)
+        return pa.table(
+            {
+                "n": pa.array([len(texts)], type=pa.int64()),
+                "n_member": pa.array([int(member.sum())], type=pa.int64()),
+            }
+        )
+
+    rows = _read_docs(sf_dir).map_batches(probe, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    n_member = sum(r["n_member"] for r in rows)
+    occupancy = bits.mean()
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n)], type=pa.int64()),
+            "n_bits_set": pa.array([int(bits.sum())], type=pa.int64()),
+            "fp_rate_est_r": pa.array(
+                [float(round_half_up(np.array([occupancy**k]), 6)[0])],
+                type=pa.float64(),
+            ),
+            "all_members": pa.array([int(n_member == n)], type=pa.int64()),
+        }
+    )

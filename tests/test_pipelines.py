@@ -316,6 +316,47 @@ class TestWindows:
 
 @pytest.mark.usefixtures("ray_session")
 class TestSketches:
+    def test_bloom_no_false_negatives_and_bounded_fp(self):
+        """Every corpus digest must probe positive (exact guarantee);
+        random non-member probes must false-positive at ~the occupancy
+        estimate; OR-merging per-half filters equals the one-shot."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import (
+            _bloom_batch_bits,
+            _bloom_positions,
+            bloom_build,
+            bloom_membership,
+        )
+
+        m, k = 1 << 16, 7
+        t = _pdf(bloom_membership(SF, m=m, k=k))
+        assert t["all_members"].iloc[0] == 1 and t["n_docs"].iloc[0] == 500
+
+        bits = bloom_build(SF, m=m, k=k)
+        # FP rate on guaranteed non-members (synthetic hashes)
+        rng = np.random.default_rng(5)
+        probes = rng.integers(0, 2**63, 20_000).astype(np.uint64)
+        pos = _bloom_positions(probes, m, k).reshape(k, len(probes))
+        fp = bits[pos].all(axis=0).mean()
+        est = bits.mean() ** k
+        assert fp <= max(3 * est, 0.01)
+        # mergeability: OR of per-half filters == one-shot over all docs
+        texts = pq.read_table(f"{SF}/documents.parquet")["text"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "little")
+                for x in texts
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+        merged = _bloom_batch_bits(h[:250], m, k) | _bloom_batch_bits(h[250:], m, k)
+        assert (merged == _bloom_batch_bits(h, m, k)).all()
+        assert (merged == bits).all()  # and equals the distributed build
+
     def test_top_terms_exact_against_duckdb(self):
         import duckdb
 
@@ -883,3 +924,97 @@ class TestClustering:
             for x, y in zip(sub_ids[ia[keep]], sub_ids[ib[keep]]):
                 exp.add((min(x, y), max(x, y)))
         assert set(zip(got["vec_a"], got["vec_b"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedPartitions:
+    """Unit semantics of dedup._grouped_partitions — the repo-wide
+    replacement for high-cardinality groupby aggregates."""
+
+    def _run(self, tbl, n_partitions=4):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+        schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+
+        def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+            k = g["k"].to_numpy()
+            v = g["v"].to_numpy()
+            order = np.argsort(k, kind="stable")
+            k, v = k[order], v[order]
+            first = np.ones(len(k), dtype=bool)
+            if len(k):
+                first[1:] = k[1:] != k[:-1]
+            starts = np.flatnonzero(first)
+            import numpy as _np
+
+            return pd.DataFrame(
+                {"k": k[starts], "s": _np.add.reduceat(v, starts) if len(v) else []}
+            )
+
+        return _grouped_partitions(
+            rd.from_arrow(tbl),
+            lambda b: b["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(n_partitions),
+            group_fn,
+            schema,
+            n_partitions=n_partitions,
+        ).to_pandas()
+
+    def test_exact_per_key_sums(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(1)
+        k = rng.integers(0, 1000, 20_000).astype(np.int64)
+        v = rng.integers(0, 100, 20_000).astype(np.int64)
+        got = self._run(pa.table({"k": k, "v": v})).set_index("k")["s"]
+        import pandas as pd
+
+        exp = pd.Series(v).groupby(pd.Series(k)).sum()
+        assert got.sort_index().equals(exp.sort_index())
+
+    def test_empty_input_yields_typed_empty(self):
+        """A fully-empty input must still produce a dataset whose SCHEMA
+        is the declared one (that is what downstream joins resolve keys
+        against — the round-2 minhash crash class). Ray's to_pandas drops
+        columns on any empty dataset, so assert on the dataset schema."""
+        import pyarrow as pa
+        import pandas as pd
+        import ray.data as rd
+
+        from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+        schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+        tbl = pa.table(
+            {"k": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+        )
+
+        def gf(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": [], "s": []})
+
+        out = _grouped_partitions(
+            rd.from_arrow(tbl),
+            lambda b: b["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(4),
+            gf,
+            schema,
+            n_partitions=4,
+        )
+        assert out.count() == 0
+        s = out.schema(fetch_if_missing=True)
+        assert s.names == ["k", "s"]
+
+    def test_all_rows_of_key_share_partition(self):
+        """Correctness precondition: per-key reductions are exact because
+        a key never splits across partitions — each key appears exactly
+        once in the output."""
+        import pyarrow as pa
+
+        k = np.repeat(np.arange(97, dtype=np.int64), 13)
+        v = np.ones(len(k), dtype=np.int64)
+        got = self._run(pa.table({"k": k, "v": v}))
+        assert got["k"].is_unique
+        assert (got["s"] == 13).all()
