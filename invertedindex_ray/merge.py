@@ -508,3 +508,61 @@ def delete_docs(index_dir: str, out_dir: str, doc_ids) -> "object":
     )
     _write_segments_and_lexicon(out_dir, cfg, stats, partials, builder, "delete")
     return stats
+
+
+def upsert_docs(index_dir: str, out_dir: str, pages, *, scratch_dir: str | None = None):
+    """Upsert (hash id mode only): re-index the ``pages`` delta and fold
+    it into an existing index WITHOUT re-tokenizing the base corpus —
+    the day-2 crawl refresh. Steps:
+
+    1. build a delta index from ``pages`` under the base config;
+    2. :func:`delete_docs` from the base every doc id that also appears
+       in the delta (ids are ``url_hash_ids``, so an updated url maps
+       to the same id — its stale postings are retracted);
+    3. :func:`merge_indexes` the pruned base with the delta.
+
+    Result is bit-equal to a fresh build over (base corpus minus
+    updated urls) + delta. Dense mode is refused: dense ids encode
+    ingestion order, which an in-place update cannot preserve — rebuild
+    or switch to hash ids for mutable corpora.
+
+    Only the delta tokenizes; the base moves as compressed runs
+    (delete + merge), so the cost is O(delta) + O(index bytes), never
+    O(corpus tokens)."""
+    import shutil as _shutil
+    import tempfile
+
+    from invertedindex_ray.build import IndexBuilder
+    from invertedindex_ray.state.disktables import DocTable
+
+    cfg = IndexConfig.load(index_dir)
+    if cfg is None:
+        raise ValueError("input must be a built index (config.json missing)")
+    if cfg.id_mode != "hash":
+        raise ValueError(
+            "upsert requires id_mode='hash' (dense ids encode ingestion "
+            "order, which an in-place update cannot preserve)"
+        )
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"upsert target {out_dir} exists and is not empty")
+
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="iidx-upsert-")
+    delta_dir = os.path.join(scratch, "delta")
+    pruned_dir = os.path.join(scratch, "pruned")
+    try:
+        IndexBuilder(delta_dir, cfg).build(pages)
+        delta_ids = DocTable(os.path.join(delta_dir, "doc_table"), mode="ondisk").doc_ids
+        base_ids = DocTable(os.path.join(index_dir, "doc_table"), mode="ondisk").doc_ids
+        overlap = np.intersect1d(delta_ids, base_ids)
+        if len(overlap):
+            delete_docs(index_dir, pruned_dir, overlap)
+            base_for_merge = pruned_dir
+        else:
+            base_for_merge = index_dir
+        merge_indexes(base_for_merge, delta_dir, out_dir)
+    finally:
+        if scratch_dir is None:
+            _shutil.rmtree(scratch, ignore_errors=True)
+    from invertedindex_ray.build import CollectionStats
+
+    return CollectionStats.load(out_dir)

@@ -270,3 +270,86 @@ class TestDeleteEquivalence:
         _, full_idx, *_ = deleted
         with pytest.raises(ValueError, match="unknown doc ids"):
             delete_docs(full_idx, str(tmp_path / "out"), [10**15])
+
+
+class TestUpsert:
+    def test_upsert_equals_fresh_build(self, ray_session, tmp_path):
+        """Hash-mode upsert (delete stale ids + merge delta) must be
+        bit-equal to a fresh build over the updated corpus: 10 docs
+        replaced with new text (same urls), 10 brand-new docs added."""
+        import numpy as np
+
+        from invertedindex_ray.merge import upsert_docs
+
+        cfg = IndexConfig(num_doc_partitions=2, num_buckets=8, id_mode="hash")
+        base_tbl = synth_pages_table(100, seed=7)
+        delta_new = synth_pages_table(130, seed=7).slice(100, 30)
+
+        # updated docs: urls of rows 30..39 with DIFFERENT text (from a
+        # different seed), plus 30 genuinely new urls
+        alt = synth_pages_table(100, seed=9)
+        updated = pa.table(
+            {
+                "url": base_tbl["url"].slice(30, 10),
+                "warc_ts": base_tbl["warc_ts"].slice(30, 10),
+                "html": alt["html"].slice(30, 10),
+                "text": alt["text"].slice(30, 10),
+                "lang": base_tbl["lang"].slice(30, 10),
+            }
+        ).select(base_tbl.column_names)
+        delta_tbl = pa.concat_tables(
+            [updated, delta_new.select(base_tbl.column_names)]
+        )
+
+        d = str(tmp_path)
+        for name, tbl in (("base", base_tbl), ("delta", delta_tbl)):
+            os.makedirs(os.path.join(d, name))
+            pq.write_table(tbl, os.path.join(d, name, "pages.parquet"))
+        base_idx = os.path.join(d, "idx_base")
+        _build(os.path.join(d, "base"), base_idx, cfg)
+
+        import ray.data as rd
+
+        out_idx = os.path.join(d, "idx_upserted")
+        stats = upsert_docs(
+            base_idx,
+            out_idx,
+            rd.read_parquet(os.path.join(d, "delta"), columns=["url", "text"]),
+            scratch_dir=os.path.join(d, "scratch"),
+        )
+
+        # fresh build over the updated corpus
+        keep = [i for i in range(100) if not (30 <= i < 40)]
+        updated_corpus = pa.concat_tables(
+            [base_tbl.take(pa.array(keep)), delta_tbl]
+        )
+        os.makedirs(os.path.join(d, "updated"))
+        pq.write_table(updated_corpus, os.path.join(d, "updated", "pages.parquet"))
+        fresh_idx = os.path.join(d, "idx_fresh")
+        _build(os.path.join(d, "updated"), fresh_idx, cfg)
+
+        assert _canon_lexicon(out_idx) == _canon_lexicon(fresh_idx)
+        assert _canon_doc_table(out_idx) == _canon_doc_table(fresh_idx)
+        eu, ef = QueryEngine(out_idx), QueryEngine(fresh_idx)
+        for q in QUERIES:
+            assert eu.query(q, k=10) == ef.query(q, k=10), q
+        from invertedindex_ray.build import CollectionStats
+
+        fresh_stats = CollectionStats.load(fresh_idx)
+        assert stats.num_docs == fresh_stats.num_docs
+        assert stats.total_tokens == fresh_stats.total_tokens
+
+    def test_upsert_refuses_dense_mode(self, ray_session, tmp_path):
+        from invertedindex_ray.merge import upsert_docs
+
+        cfg = IndexConfig(num_buckets=4, id_mode="dense")
+        tbl = synth_pages_table(20, seed=3)
+        os.makedirs(tmp_path / "p")
+        pq.write_table(tbl, str(tmp_path / "p" / "pages.parquet"))
+        idx = str(tmp_path / "idx")
+        _build(str(tmp_path / "p"), idx, cfg)
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="id_mode='hash'"):
+            upsert_docs(idx, str(tmp_path / "out"),
+                        rd.read_parquet(str(tmp_path / "p")))
