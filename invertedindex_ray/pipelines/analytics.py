@@ -158,8 +158,6 @@ def lexicon(sf_dir: str, cfg: IndexConfig = NOSTEM):
     """(term, df, cf) — pre-aggregated per batch before the groupby
     (partial-combine pattern: the shuffle moves one row per distinct term
     per batch, not one per posting)."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -216,7 +214,6 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
     6 dp (LexiconTermBinaryIndexing.computeStatistics)."""
     import math
 
-    from ray.data.aggregate import Count, Max, Sum
 
     stats = collection_stats(sf_dir, cfg)
     n_docs = int(stats["num_docs"][0].as_py())

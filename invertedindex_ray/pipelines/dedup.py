@@ -185,8 +185,6 @@ def _read_docs(sf_dir: str):
 def exact_dedup(sf_dir: str):
     """(doc_id, n_dups): one row per distinct text, doc_id = smallest id in
     the duplicate group. At 100 TB only the 16-byte digest shuffles."""
-    from ray.data.aggregate import Count, Min
-
     def with_hash(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
@@ -324,7 +322,6 @@ def minhash_lsh_pairs(
     Estimated Jaccard = fraction of agreeing signature slots; no raw text
     ever shuffles. Every stage is a bounded-width shuffle.
     """
-    from ray.data.aggregate import Count
 
     rows_per_band = num_perm // bands
     assert num_perm % bands == 0
@@ -592,7 +589,6 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, tau: float = 0.5):
     dict) -> exact Jaccard. SQL-checkable (self-join mirror).
     Head shingles (boilerplate) are capped per bucket, documented loss.
     """
-    from ray.data.aggregate import Count
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -786,7 +782,6 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
     collides — the SQL oracle mirrors this exactly as an O(N^2) hamming
     filter); pair dedupe is a distributed groupby (no driver pandas);
     popcount is vectorized SWAR."""
-    from ray.data.aggregate import Min
 
     fp = simhash_fingerprints(sf_dir)
 
@@ -937,7 +932,6 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
     """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_mod
-    from ray.data.aggregate import Min
 
     W = int(words_per_passage)
     M = 1 << 21  # ords-per-doc key base; docs are << 2M passages
