@@ -28,11 +28,59 @@ def _events(sf_dir: str, columns):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+
+def _merge_window_partials(ds):
+    """(window_start, event_type)-keyed merge of per-batch partials via
+    the hash-partitioned vectorized reduction (windows x event-types is
+    a near-unique key set at scale — see dedup._grouped_partitions).
+    Partials are summed in (key, n_p, sum) sorted order so the float
+    result is deterministic across block arrivals."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    schema = pa.schema(
+        [
+            ("window_start", pa.int64()),
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def sum_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["window_start"].to_numpy()
+        et, uet = pd.factorize(g["event_type"].to_numpy(), sort=False)
+        n = g["n_p"].to_numpy()
+        sv = g["sum_value_p"].to_numpy()
+        order = np.lexsort((sv, n, et, w))
+        w, et, n, sv = w[order], et[order], n[order], sv[order]
+        first = np.ones(len(w), dtype=bool)
+        if len(w):
+            first[1:] = (w[1:] != w[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                "window_start": w[starts],
+                "event_type": uet[et[starts]],
+                "n_events": np.add.reduceat(n, starts) if len(n) else [],
+                "sum_value": np.add.reduceat(sv, starts) if len(sv) else [],
+            }
+        )
+
+    return _grouped_partitions(
+        ds,
+        lambda b: b["window_start"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_per_key,
+        schema,
+    )
+
+
 def tumbling_counts(sf_dir: str, window_hours: int = 1):
     """Per (hour-window, event_type): event count + sum(value),
     pre-aggregated per batch before the groupby."""
-    from ray.data.aggregate import Sum
-
     w_us = window_hours * _HOUR_US
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -60,11 +108,10 @@ def tumbling_counts(sf_dir: str, window_hours: int = 1):
             }
         )
 
-    agg = (
-        _events(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_value_p", alias_name="sum_value"))
+    agg = _merge_window_partials(
+        _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -92,8 +139,6 @@ def hopping_counts(sf_dir: str, window_hours: int = 1, hop_minutes: int = 30):
     map-side and combined per batch BEFORE the one small groupby — the
     shuffle stays one row per (window, type) per batch, not per event.
     Exact DuckDB mirror (integer µs arithmetic)."""
-    from ray.data.aggregate import Sum
-
     w_us = window_hours * _HOUR_US
     hop_us = hop_minutes * 60_000_000
     n_hops = w_us // hop_us
@@ -127,11 +172,10 @@ def hopping_counts(sf_dir: str, window_hours: int = 1, hop_minutes: int = 30):
             }
         )
 
-    agg = (
-        _events(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_value_p", alias_name="sum_value"))
+    agg = _merge_window_partials(
+        _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
