@@ -174,6 +174,55 @@ def _grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
     )
 
 
+def _keyed_partitions(ds, key_cols, group_fn, schema: pa.Schema,
+                      n_partitions: int = 32):
+    """Drop-in replacement for
+    ``ds.groupby(key_cols).map_groups(group_fn, batch_format="pyarrow")``
+    when the key is high-cardinality (user ids, (user, bucket) pairs):
+    rows are hash-partitioned on the INT key columns, and inside each
+    partition task the rows are lexsorted by the keys and ``group_fn``
+    is called once per group SLICE — identical per-group semantics (all
+    rows of a key are colocated and group_fn still sees one whole group
+    as an Arrow table), but one Ray task per partition instead of Ray's
+    per-group dispatch (~2 ms/group of scheduling + conversion, the
+    measured bottleneck at per-doc/per-user cardinalities; a direct
+    Python call per slice is ~100x cheaper). See
+    :func:`_grouped_partitions` for the aggregate-shaped sibling."""
+
+    def part(batch: pa.Table) -> np.ndarray:
+        acc = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = _mix64(acc ^ col)
+        return acc & np.uint64(n_partitions - 1)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(keys[::-1])
+        t = t.take(pa.array(order, type=pa.int64()))
+        keys = [k[order] for k in keys]
+        n = len(order)
+        new = np.ones(n, dtype=bool)
+        if n:
+            change = np.zeros(n - 1, dtype=bool)
+            for k in keys:
+                change |= k[1:] != k[:-1]
+            new[1:] = change
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        outs = [
+            group_fn(t.slice(int(s), int(e - s))) for s, e in zip(starts, ends)
+        ]
+        outs = [o for o in outs if o.num_rows]
+        if not outs:
+            return schema.empty_table().to_pandas()
+        return pa.concat_tables(outs).to_pandas()
+
+    return _grouped_partitions(ds, part, run, schema,
+                               n_partitions=n_partitions)
+
+
 def _read_docs(sf_dir: str):
     import ray.data as rd
 

@@ -127,10 +127,14 @@ def late_events(
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(flag, batch_format="pyarrow")
+    from invertedindex_ray.pipelines.dedup import _keyed_partitions
+
+    return _keyed_partitions(
+        _events(sf_dir, ["event_id", "ts", "user_id"]),
+        ["user_id"],
+        flag,
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("is_late", pa.int64())]),
     )
 
 
@@ -201,10 +205,14 @@ def asof_join_events(
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+    from invertedindex_ray.pipelines.dedup import _keyed_partitions
+
+    return _keyed_partitions(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]),
+        ["user_id"],
+        merge,
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("prior_value", pa.float64())]),
     )
 
 
@@ -257,8 +265,12 @@ def range_join_counts(
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+    from invertedindex_ray.pipelines.dedup import _keyed_partitions
+
+    return _keyed_partitions(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        ["user_id"],
+        merge,
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("n_right", pa.int64())]),
     )

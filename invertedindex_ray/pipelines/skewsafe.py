@@ -29,6 +29,13 @@ All four are result-identical to their plain twins (asserted by tests
 and shared SQL oracles); the partitioning assumption they rely on is
 only that one (user, bucket) slice fits a task — tune ``bucket_*``
 for the key's event rate.
+
+Execution note: every per-key stage runs through
+:func:`invertedindex_ray.pipelines.dedup._keyed_partitions` — the
+group functions keep exact per-group semantics, but are dispatched per
+group SLICE inside one Ray task per hash partition instead of Ray's
+per-group map_groups machinery (~2 ms/group, the measured bottleneck
+at per-user cardinalities).
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from invertedindex_ray.pipelines.dedup import _keyed_partitions
 from invertedindex_ray.pipelines.relational import _events
 
 
@@ -118,11 +126,16 @@ def range_join_counts_scalable(
             }
         )
 
-    return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(count_in_bucket, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("n_right", pa.int64())]
+    )
+    return _keyed_partitions(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]).map_batches(
+            shard, batch_format="pyarrow"
+        ),
+        ["user_id", "bucket"],
+        count_in_bucket,
+        out_schema,
     )
 
 
@@ -183,11 +196,17 @@ def sessionize_scalable(
             }
         )
 
-    per_bucket = (
-        _events(sf_dir, ["ts", "user_id"])
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(bucket_sessions, batch_format="pyarrow")
+    pb_schema = pa.schema(
+        [("user_id", pa.int64()), ("s", pa.int64()), ("e", pa.int64()),
+         ("n_events", pa.int64()), ("boundary", pa.bool_())]
+    )
+    per_bucket = _keyed_partitions(
+        _events(sf_dir, ["ts", "user_id"]).map_batches(
+            shard, batch_format="pyarrow"
+        ),
+        ["user_id", "bucket"],
+        bucket_sessions,
+        pb_schema,
     ).materialize()  # consumed twice: interior pass-through + stitch
 
     interior = per_bucket.filter(expr="boundary == False").select_columns(
@@ -220,10 +239,15 @@ def sessionize_scalable(
             }
         )
 
-    stitched = (
-        per_bucket.filter(expr="boundary == True")
-        .groupby("user_id")
-        .map_groups(stitch, batch_format="pyarrow")
+    st_schema = pa.schema(
+        [("user_id", pa.int64()), ("s", pa.int64()), ("e", pa.int64()),
+         ("n_events", pa.int64())]
+    )
+    stitched = _keyed_partitions(
+        per_bucket.filter(expr="boundary == True"),
+        ["user_id"],
+        stitch,
+        st_schema,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -326,11 +350,17 @@ def asof_join_events_scalable(
             }
         )
 
-    staged = (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(local, batch_format="pyarrow")
+    lo_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.int64()), ("kind", pa.string()),
+         ("event_id", pa.int64()), ("ts", pa.int64()), ("prior_value", pa.float64())]
+    )
+    staged = _keyed_partitions(
+        _events(
+            sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).map_batches(shard, batch_format="pyarrow"),
+        ["user_id", "bucket"],
+        local,
+        lo_schema,
     ).materialize()  # done rows pass through; open+summary go to carry
 
     done = staged.filter(expr="kind == 'done'")
@@ -361,10 +391,12 @@ def asof_join_events_scalable(
             }
         )
 
-    carried = (
-        staged.filter(expr="kind != 'done'")
-        .groupby("user_id")
-        .map_groups(carry, batch_format="pyarrow")
+    ca_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("prior_value", pa.float64())]
+    )
+    carried = _keyed_partitions(
+        staged.filter(expr="kind != 'done'"), ["user_id"], carry, ca_schema
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -440,11 +472,17 @@ def late_events_scalable(
             }
         )
 
-    staged = (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(local, batch_format="pyarrow")
+    lw_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.int64()), ("event_id", pa.int64()),
+         ("ts", pa.int64()), ("local_wm", pa.int64())]
+    )
+    staged = _keyed_partitions(
+        _events(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+            shard, batch_format="pyarrow"
+        ),
+        ["user_id", "bucket"],
+        local,
+        lw_schema,
     )
 
     # summaries are tiny (one row per (user, bucket)): prefix-max per
@@ -471,9 +509,7 @@ def late_events_scalable(
             }
         )
 
-    carry_rows = summaries.groupby("user_id").map_groups(
-        carries, batch_format="pyarrow"
-    )
+    carry_rows = _keyed_partitions(summaries, ["user_id"], carries, lw_schema)
 
     def apply(group: pa.Table) -> pa.Table:
         uid = int(group["user_id"][0].as_py())
@@ -496,8 +532,9 @@ def late_events_scalable(
             }
         )
 
-    return (
-        events_rows.union(carry_rows)
-        .groupby(["user_id", "bucket"])
-        .map_groups(apply, batch_format="pyarrow")
+    ap_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("is_late", pa.int64())]
+    )
+    return _keyed_partitions(
+        events_rows.union(carry_rows), ["user_id", "bucket"], apply, ap_schema
     )

@@ -236,8 +236,14 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, *, max_group_rows: int | None
             }
         )
 
-    return (
-        _events(sf_dir, ["ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(split, batch_format="pyarrow")
+    from invertedindex_ray.pipelines.dedup import _keyed_partitions
+
+    return _keyed_partitions(
+        _events(sf_dir, ["ts", "user_id"]),
+        ["user_id"],
+        split,
+        pa.schema([("user_id", pa.int64()),
+                   ("session_start", pa.timestamp("us")),
+                   ("session_end", pa.timestamp("us")),
+                   ("n_events", pa.int64())]),
     )
