@@ -64,13 +64,25 @@ def top_terms(sf_dir: str, n: int = 50):
     shuffle at one row per distinct term per batch; the final top-N is a
     driver-side selection over the (vocabulary-sized) aggregate via a
     bounded per-block partial top-N."""
-    from ray.data.aggregate import Sum
+    import pandas as pd
 
-    agg = (
-        _read_docs(sf_dir)
-        .map_batches(_batch_term_counts, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n_p", alias_name="n_occurrences"))
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    agg_schema = pa.schema([("term", pa.string()), ("n_occurrences", pa.int64())])
+
+    def sum_per_term(g: pd.DataFrame) -> pd.DataFrame:
+        # vocabulary-keyed merge: vectorized factorize/bincount per hash
+        # partition (dedup._grouped_partitions rationale)
+        codes, terms = pd.factorize(g["term"].to_numpy(), sort=False)
+        cnt = np.bincount(codes, weights=g["n_p"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"term": terms, "n_occurrences": cnt})
+
+    agg = _grouped_partitions(
+        _read_docs(sf_dir).map_batches(_batch_term_counts, batch_format="pyarrow"),
+        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        sum_per_term,
+        agg_schema,
     )
 
     def partial_topn(batch: pa.Table) -> pa.Table:
