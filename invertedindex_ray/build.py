@@ -561,12 +561,34 @@ class IndexBuilder:
         """seg_stats (Dataset of per-(term, part) rows) -> sorted lexicon.
         The groupby here moves only the tiny stats rows, so fusing it onto
         the segments pipeline adds no barrier beyond its own small shuffle."""
-        from ray.data.aggregate import Max, Sum
+        from invertedindex_ray.functions.grouping import grouped_partitions
+        from invertedindex_ray.functions.hashing import hash_strings
 
-        lex = seg_stats.groupby("term").aggregate(
-            Sum("df", alias_name="df"),
-            Sum("cf", alias_name="cf"),
-            Max("maxp", alias_name="maxp"),
+        lex_schema = pa.schema(
+            [("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64()),
+             ("maxp", pa.float64())]
+        )
+
+        def sum_max_per_term(g):
+            import pandas as pd
+
+            codes, terms = pd.factorize(g["term"].to_numpy(), sort=False)
+            df = np.bincount(codes, weights=g["df"].to_numpy()).astype(np.int64)
+            cf = np.bincount(codes, weights=g["cf"].to_numpy()).astype(np.int64)
+            maxp = np.full(len(terms), -np.inf)
+            np.fmax.at(maxp, codes, g["maxp"].to_numpy())
+            return pd.DataFrame({"term": terms, "df": df, "cf": cf, "maxp": maxp})
+
+        # vocabulary-keyed merge of the per-(term, part) sidecar rows:
+        # hash-partitioned + one vectorized factorize/bincount per
+        # partition (Ray's per-group aggregate walks groups in Python —
+        # the measured 40x bottleneck at web-scale vocabularies; see
+        # functions/grouping.py)
+        lex = grouped_partitions(
+            seg_stats,
+            lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+            sum_max_per_term,
+            lex_schema,
         )
         num_docs = stats.num_docs
 
