@@ -51,11 +51,16 @@ def _built_engine(sf_dir: str, cfg: IndexConfig):
 
 
 def _daat_results_table(sf_dir: str, qtype_filter: str | None = None,
-                        cfg: IndexConfig | None = None):
+                        cfg: IndexConfig | None = None,
+                        traversal: str = "vectorized"):
     import pyarrow as pa
+
+    from invertedindex_ray.engine import QueryEngine
 
     cfg = cfg or IndexConfig()  # stemming+stopwords on: the reference default
     e = _built_engine(sf_dir, cfg)
+    if traversal != "vectorized":
+        e = QueryEngine(_index_dir_for(sf_dir, cfg), cfg, traversal=traversal)
     qids, urls, scores, ranks = [], [], [], []
     for qid, q in DRIVER_QUERY_SET:
         if qtype_filter and not q.lower().startswith(qtype_filter):
@@ -157,6 +162,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- full engine, stemming=False: the REAL MaxScore DAAT engine,
         #     SQL-checked (VERDICT r1 #3) ---
         "topk_daat_nostem": lambda sf: _daat_nostem_table(sf),
+        # --- WAND dynamic pruning (Broder et al., CIKM 2003) over the
+        #     same nostem index: leapfrog next_geq traversal, summed in
+        #     the vectorized float order, so the same SQL oracle applies ---
+        "topk_wand": lambda sf: _daat_results_table(
+            sf, cfg=_NOSTEM_CFG, traversal="wand"
+        ),
         # --- actor-pool batch serving: same engine behind map_batches,
         #     over the nostem index so the serving path is SQL-checked ---
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
@@ -889,6 +900,9 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
+        # WAND returns the same top-k as MaxScore (see engine docstring):
+        # the identical oracle re-checks that equivalence end-to-end
+        "topk_wand": _topk_daat_nostem_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "topk_daat_distributed": _topk_daat_nostem_sql(),
         "winnow_fingerprints": _WINNOW_SQL,

@@ -275,6 +275,17 @@ class QueryEngine:
           (QueryProcessor.java:251-412), with its pivot-dependent float
           summation order. The two differ only by 1-ulp effects on exact
           score ties; tests assert canonical equality.
+        - ``"wand"``: classic WAND dynamic pruning (Broder et al.,
+          "Efficient Query Evaluation using a Two-Level Retrieval
+          Process", CIKM 2003) for OR queries — the pivot is found by
+          summing term upper bounds over cursors sorted by CURRENT doc
+          id, and pre-pivot cursors leapfrog with ``next_geq`` so whole
+          doc-id ranges are skipped without scoring. Returns the same
+          top-k set as MaxScore (both enumerate candidate docs in
+          ascending id order and admit on ``score > threshold``; a doc
+          WAND skips has upper bound <= threshold so it could never be
+          admitted). AND queries route to the same conjunctive DAAT as
+          ``"daat"`` (conjunctive traversal is already next_geq-driven).
         """
         self.index_dir = index_dir
         persisted = IndexConfig.load(index_dir)
@@ -616,6 +627,8 @@ class QueryEngine:
 
         if qtype == "and":
             queue = self._conjunctive(cursors, doc_upper, lex_rows, k)
+        elif self.traversal == "wand":
+            queue = self._wand_disjunctive(cursors, lex_rows, k)
         else:
             queue = self._disjunctive(cursors, doc_upper, lex_rows, k)
 
@@ -783,6 +796,67 @@ class QueryEngine:
                     pivot += 1
 
             current = nxt
+        return queue
+
+    def _wand_disjunctive(self, cursors, lex_rows, k) -> TopKQueue:
+        """WAND (Broder et al., CIKM 2003, Fig. 4): cursors stay sorted
+        by current doc id; the pivot is the first prefix whose summed
+        term upper bounds beat the queue threshold. If the lowest cursor
+        already sits on the pivot doc, the doc is fully scored; else one
+        pre-pivot cursor leapfrogs to ``next_geq(pivot_doc)``. With the
+        tie-collapse queue the admitted set equals MaxScore's: both
+        evaluate candidates in ascending doc order and admit on
+        ``score > last_score`` — a skipped doc's upper bound was
+        <= threshold, so its true score could never be admitted.
+        While the queue is not yet full the threshold is -1 (no skips:
+        zero-score docs are admissible, matching the exhaustive set)."""
+        queue = TopKQueue(k)
+        live = list(cursors)  # already advanced to their first posting
+        while live:
+            live.sort(key=lambda c: c.doc_id)
+            threshold = queue.last_score() if len(queue) == k else -1.0
+            acc = 0.0
+            pivot = -1
+            for i, c in enumerate(live):
+                acc += c.tub
+                if acc > threshold:
+                    pivot = i
+                    break
+            if pivot == -1:
+                break  # no remaining doc can beat the threshold
+            pivot_doc = live[pivot].doc_id
+            if live[0].doc_id == pivot_doc:
+                # every cursor at pivot_doc is a sorted prefix: score it.
+                # Contributions are summed in ascending-tub term order —
+                # the same float summation order as the vectorized
+                # traversal (terms sorted by tub), so exact-score ties
+                # collapse identically across the two pruning paths.
+                doc_len = self.docs.doc_len_at(self.docs.index_of(pivot_doc))
+                at_doc = []
+                for c in live:
+                    if c.doc_id != pivot_doc:
+                        break
+                    at_doc.append(c)
+                score = 0.0
+                for c in sorted(at_doc, key=lambda c: c.tub):
+                    score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+                exhausted = [c for c in at_doc if not c.next()]
+                for c in exhausted:
+                    live.remove(c)
+                if len(queue) < k or score > queue.last_score():
+                    queue.add(pivot_doc, score)
+            else:
+                # leapfrog: advance the highest-upper-bound cursor that
+                # is strictly BEHIND the pivot doc (Broder's pick —
+                # statistically the shortest list, so it skips the most
+                # postings per seek). Pre-pivot cursors can already sit
+                # ON pivot_doc (doc-id ties); next_geq would be a no-op
+                # on those, so they must not be chosen.
+                behind = [i for i in range(pivot) if live[i].doc_id < pivot_doc]
+                j = max(behind, key=lambda i: live[i].tub)
+                c = live[j]
+                if not c.next_geq(pivot_doc):
+                    live.remove(c)  # parked on its last posting: done
         return queue
 
     def _conjunctive(self, cursors, doc_upper, lex_rows, k) -> TopKQueue:

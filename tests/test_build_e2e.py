@@ -212,6 +212,39 @@ class TestRetrievalRankIdentity:
             assert abs(len(r_v) - len(r_d)) <= 2, q
             assert r_v[:n] == r_d[:n], q
 
+    @pytest.mark.parametrize("k", [1, 5, 100])
+    def test_wand_matches_sequential_daat(self, built, k):
+        """WAND dynamic pruning must return the same canonical rank list
+        as the reference MaxScore DAAT on every query (both OR — where
+        the traversals genuinely differ — and AND, which routes to the
+        shared conjunctive path)."""
+        _, cfg, idx_dir, _ = built
+        ew = QueryEngine(idx_dir, cfg, traversal="wand")
+        ev = QueryEngine(idx_dir, cfg, traversal="vectorized")
+        ed = QueryEngine(idx_dir, cfg, traversal="daat")
+        for q in QUERIES:
+            # wand sums per-doc contributions in ascending-tub order —
+            # the vectorized traversal's float order — so against
+            # vectorized the result must be EXACTLY equal (same ulp tie
+            # collapse); against sequential DAAT (pivot-dependent float
+            # order) the usual canonical ulp tolerance applies
+            r_w = ew.query(q, k)
+            assert r_w == ev.query(q, k), q
+            r_wc = _canonical(r_w)
+            r_d = _canonical(ed.query(q, k))
+            n = min(len(r_wc), len(r_d))
+            assert abs(len(r_wc) - len(r_d)) <= 2, q
+            assert r_wc[:n] == r_d[:n], q
+
+    def test_wand_matches_daat_lazy_cursor(self, built):
+        """WAND over the skip-block LazyPostingCursor (the at-scale
+        pairing: leapfrog next_geq + one-block-at-a-time decode)."""
+        _, cfg, idx_dir, _ = built
+        ew = QueryEngine(idx_dir, cfg, traversal="wand", cursor="lazy")
+        ed = QueryEngine(idx_dir, cfg, traversal="daat", cursor="decoded")
+        for q in QUERIES:
+            assert _canonical(ew.query(q, 10)) == _canonical(ed.query(q, 10)), q
+
     def test_cache_key_distinguishes_qtype_from_literal_tokens(self, built):
         """'ands' stems to the literal 'and'; the cache key must keep the
         query type separate or 'OR ands data' and 'AND ors data' collide."""
