@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": lambda sf: __import__(
             "invertedindex_ray.pipelines.mlt", fromlist=["x"]
         ).more_like_this(sf),
+        # --- positional phrase search (zero-shuffle per-doc matcher) ---
+        "phrase_search": lambda sf: __import__(
+            "invertedindex_ray.pipelines.phrase", fromlist=["x"]
+        ).phrase_search(sf),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_passages": lambda sf: dedup.passage_dedup(sf),
@@ -896,8 +900,46 @@ FROM est WHERE j >= 0.5
 """
 
 
+def _phrase_sql() -> str:
+    """Positional self-join mirror of pipelines/phrase.py: tokens are
+    maximal [a-z0-9]+ runs; a phrase of m terms matches at p when the m
+    positional rows p..p+m-1 agree (overlapping matches counted)."""
+    from invertedindex_ray.pipelines.phrase import DRIVER_PHRASES
+
+    parts = []
+    for phrase in DRIVER_PHRASES:
+        terms = phrase.split()
+        m = len(terms)
+        joins = " ".join(
+            f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            for i in range(1, m)
+        )
+        conds = " AND ".join(
+            "t%d.term = '%s'" % (i, t.replace("'", "''"))
+            for i, t in enumerate(terms)
+        )
+        parts.append(
+            f"SELECT '{phrase}' AS phrase, t0.doc_id, count(*)::BIGINT AS n_matches\n"
+            f"FROM pos t0 {joins} WHERE {conds} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(generate_series(1, len(toks))) AS p
+  FROM tok
+)
+{union}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "phrase_search": _phrase_sql(),
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
         # WAND returns the same top-k as MaxScore (see engine docstring):

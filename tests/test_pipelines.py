@@ -1018,3 +1018,90 @@ class TestGroupedPartitions:
         got = self._run(pa.table({"k": k, "v": v}))
         assert got["k"].is_unique
         assert (got["s"] == 13).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhraseSearch:
+    def _run(self, docs, phrases, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from invertedindex_ray.pipelines.phrase import phrase_search
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs, type=pa.string()),
+                }
+            ),
+            str(p),
+        )
+        # phrase_search reads <dir>/documents.parquet
+        import os
+        os.rename(str(p), str(tmp_path / "documents.parquet"))
+        df = phrase_search(str(tmp_path), phrases).to_pandas()
+        return {
+            (r.phrase, r.doc_id): r.n_matches for r in df.itertuples()
+        }
+
+    def test_basic_and_overlap_and_boundaries(self, tmp_path):
+        docs = [
+            "alpha beta gamma",            # phrase at doc start
+            "x alpha beta",                # phrase at doc end
+            "alpha Beta! alpha beta",      # normalization + two matches
+            "beta alpha",                  # reversed: no match
+            "",                            # empty doc
+            "run run run run",             # overlapping trigram: 2 matches
+        ]
+        got = self._run(
+            docs, ["alpha beta", "run run run", "gamma", "nope nope"], tmp_path
+        )
+        assert got[("alpha beta", 0)] == 1
+        assert got[("alpha beta", 1)] == 1
+        assert got[("alpha beta", 2)] == 2
+        assert ("alpha beta", 3) not in got
+        assert got[("run run run", 5)] == 2
+        assert got[("gamma", 0)] == 1
+        assert all(p != "nope nope" for p, _ in got)
+
+    def test_no_cross_doc_match(self, tmp_path):
+        # "beta" ends doc 0 and "alpha" starts doc 1: the flattened token
+        # stream is contiguous, so the doc-boundary guard must reject it
+        got = self._run(["x beta", "alpha y"], ["beta alpha"], tmp_path)
+        assert got == {}
+
+    def test_matches_duckdb_on_corpus(self):
+        import duckdb
+
+        from invertedindex_ray.pipelines.phrase import (
+            DRIVER_PHRASES,
+            phrase_search,
+        )
+
+        df = (
+            phrase_search(SF)
+            .to_pandas()
+            .sort_values(["phrase", "doc_id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        exp = (
+            con.execute(entry._phrase_sql())
+            .fetchdf()
+            .sort_values(["phrase", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert len(df) == len(exp) > 0
+        assert (df["n_matches"].to_numpy() == exp["n_matches"].to_numpy()).all()
+        assert (df["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
