@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
+        "dsir_weights": lambda sf: textstats.dsir_weights(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1151,6 +1152,27 @@ SELECT d.doc_id,
        round(sum(d.tf::DOUBLE * -ln(c.n::DOUBLE / t.n_total)) / sum(d.tf)::DOUBLE, 6) AS surprisal_r
 FROM dw d JOIN cnt c USING (w) CROSS JOIN tot t
 GROUP BY d.doc_id""",
+        # DSIR hashed-n-gram importance weights: target = lang='en',
+        # raw = whole corpus, add-one smoothing over 4096 md5 buckets.
+        "dsir_weights": """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, a[i] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) s WHERE len(a) >= 1),
+bi  AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s WHERE len(a) >= 2),
+hb AS (SELECT doc_id, ((md5_number_lower(gram) >> 1)::BIGINT % 4096) AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+tgt AS (SELECT b, count(*)::BIGINT AS n FROM hb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+rw  AS (SELECT b, count(*)::BIGINT AS n FROM hb GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(n),0) FROM tgt)::DOUBLE AS t, (SELECT coalesce(sum(n),0) FROM rw)::DOUBLE AS r),
+lr AS (
+  SELECT rw.b,
+         ln((coalesce(tgt.n,0) + 1)::DOUBLE / (tot.t + 4096)) - ln((rw.n + 1)::DOUBLE / (tot.r + 4096)) AS w
+  FROM rw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT hb.doc_id, count(*)::BIGINT AS n_grams, round(sum(lr.w), 6) AS dsir_logw_r
+FROM hb JOIN lr USING (b)
+GROUP BY hb.doc_id""",
         "repetition_stats": """
 WITH tk AS (
   SELECT doc_id,

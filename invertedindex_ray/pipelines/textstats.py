@@ -552,3 +552,138 @@ def quality_filter(
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------- DSIR importance weights
+
+def dsir_weights(sf_dir: str, *, num_buckets: int = 4096, target_lang: str = "en"):
+    """(doc_id, n_grams, dsir_logw_r): hashed-n-gram importance weight
+    per document — the DSIR data-selection signal (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling').
+    Unigrams + bigrams are hashed into ``num_buckets`` buckets; a
+    bag-of-buckets multinomial is fit on the TARGET slice (here
+    ``lang == target_lang`` — in production the target is a held-out
+    high-quality corpus) and on the RAW corpus, both with add-one
+    smoothing, and each doc scores
+    ``sum over its grams of ln p_target(b) - ln p_raw(b)``.
+    Resample-by-weight is then a one-pass filter on ``dsir_logw_r``.
+
+    Scale shape: two streaming corpus passes. Pass 1 reduces per-batch
+    dense bincounts to a table bounded by ``num_buckets`` rows (the only
+    shuffle, ~tens of KB); the log-ratio vector is ``ray.put`` ONCE and
+    read by every pass-2 task — never re-shipped per batch. Hashes are
+    md5-based (functions.hashing.md5_hash63) so the driver's DuckDB
+    oracle reproduces the bucketing exactly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from invertedindex_ray.functions.hashing import md5_hash63
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
+        _materialized_nonempty,
+    )
+
+    B = int(num_buckets)
+
+    def _doc_grams(text: str) -> list:
+        words = [w for w in _WORD.split((text or "").lower()) if w]
+        grams = list(words)
+        grams.extend(
+            " ".join((words[i], words[i + 1])) for i in range(len(words) - 1)
+        )
+        return grams
+
+    counts_schema = pa.schema(
+        [("b", pa.int64()), ("n_t", pa.int64()), ("n_r", pa.int64())]
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return counts_schema.empty_table()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        raw = np.zeros(B, dtype=np.int64)
+        tgt = np.zeros(B, dtype=np.int64)
+        for t, lg in zip(texts, langs):
+            grams = _doc_grams(t)
+            if not grams:
+                continue
+            b = md5_hash63(grams) % B
+            c = np.bincount(b, minlength=B)
+            raw += c
+            if lg == target_lang:
+                tgt += c
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "n_t": pa.array(tgt[nz], type=pa.int64()),
+                "n_r": pa.array(raw[nz], type=pa.int64()),
+            }
+        )
+
+    def sum_per_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        b = g["b"].to_numpy()
+        codes, ub = pd.factorize(b, sort=False)
+        n_t = np.bincount(codes, weights=g["n_t"].to_numpy()).astype(np.int64)
+        n_r = np.bincount(codes, weights=g["n_r"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"b": ub, "n_t": n_t, "n_r": n_r})
+
+    counts_ds = _grouped_partitions(
+        _read_docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        lambda t: t["b"].to_numpy().astype(np.uint64) & np.uint64(31),
+        sum_per_bucket,
+        counts_schema,
+    )
+    counts_ds, _n = _materialized_nonempty(counts_ds, counts_schema)
+    # bounded by num_buckets rows (<=4096) — a declared small collect,
+    # same contract as the CMS/Bloom sketch rows
+    rows = counts_ds.take_all()
+    n_t = np.zeros(B, dtype=np.int64)
+    n_r = np.zeros(B, dtype=np.int64)
+    for r in rows:
+        n_t[r["b"]] += r["n_t"]
+        n_r[r["b"]] += r["n_r"]
+    t_tot = float(n_t.sum())
+    r_tot = float(n_r.sum())
+    log_ratio = np.log((n_t + 1.0) / (t_tot + B)) - np.log(
+        (n_r + 1.0) / (r_tot + B)
+    )
+    lr_ref = ray.put(log_ratio)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("dsir_logw_r", pa.float64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lr = ray.get(lr_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_ids, out_n, out_w = [], [], []
+        for d, t in zip(ids, texts):
+            grams = _doc_grams(t)
+            if not grams:
+                continue
+            b = md5_hash63(grams) % B
+            out_ids.append(int(d))
+            out_n.append(len(grams))
+            out_w.append(float(lr[b].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+                "n_grams": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "dsir_logw_r": pa.array(
+                    round_half_up(np.asarray(out_w, dtype=np.float64), 6)
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")

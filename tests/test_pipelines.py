@@ -1105,3 +1105,36 @@ class TestPhraseSearch:
         assert len(df) == len(exp) > 0
         assert (df["n_matches"].to_numpy() == exp["n_matches"].to_numpy()).all()
         assert (df["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+
+
+class TestDSIR:
+    def test_matches_sql_oracle_and_favors_target_lang(self):
+        """Bit-exact parity with the driver oracle at sf0.001, plus the
+        semantic invariant the weight exists for: target-language (en)
+        docs must score a higher mean importance weight than the rest."""
+        import duckdb
+        import pandas as pd
+        import __ray_entry__ as e
+
+        from invertedindex_ray.pipelines.textstats import dsir_weights
+
+        df = _pdf(dsir_weights(SF)).sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        exp = (
+            con.execute(e.oracle_sql()["dsir_weights"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(df, exp, check_dtype=False)
+
+        langs = pd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        m = df.merge(langs, on="doc_id")
+        mean_en = m.loc[m["lang"] == "en", "dsir_logw_r"].mean()
+        mean_rest = m.loc[m["lang"] != "en", "dsir_logw_r"].mean()
+        assert mean_en > mean_rest
