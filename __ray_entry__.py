@@ -183,6 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
         ).phrase_search(sf),
+        # --- RM3 pseudo-relevance feedback (two-pass weighted retrieval) ---
+        "rm3_search": lambda sf: __import__(
+            "invertedindex_ray.pipelines.rm3", fromlist=["x"]
+        ).rm3_search(sf, DRIVER_QUERY_SET),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_passages": lambda sf: dedup.passage_dedup(sf),
@@ -456,6 +460,95 @@ ranked AS (
 )
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
+"""
+    )
+
+
+def _rm3_sql(fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5,
+             k: int = 10) -> str:
+    """Full SQL mirror of pipelines.rm3.rm3_search over the driver query
+    set: OR top-fb_docs feedback pass -> relevance model (tf/|d| scaled
+    by the 9-dp feedback score, L1-normalized, rounded 9 dp, top-fb_terms
+    by (p DESC, term ASC)) -> alpha-interpolated weights (rounded 9 dp)
+    -> weighted disjunctive re-retrieval, deterministic top-k."""
+    from invertedindex_ray.pipelines.analytics import NOSTEM
+    from invertedindex_ray.pipelines.batch_query import parse_queries
+
+    parsed = parse_queries(DRIVER_QUERY_SET, NOSTEM)
+    rows = []
+    for qid, _, terms in parsed:
+        for t in sorted(terms):
+            rows.append(f"('{qid}', '{t}')")
+    qterms = ", ".join(rows)
+    return _base(
+        f""",
+cstats AS (
+  SELECT count(*)::DOUBLE AS num_docs, sum(doc_len)::DOUBLE / count(*) AS avg_doc_len
+  FROM docstats
+),
+qterms(qid, term) AS (VALUES {qterms}),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+persc AS (
+  SELECT t.term, t.doc_id,
+         (t.tf::DOUBLE / ((1.2 * ((1 - 0.75) + 0.75 * (d.doc_len::DOUBLE / c.avg_doc_len))) + t.tf))
+           * ln(c.num_docs / l.df) AS score
+  FROM tfs t
+  JOIN docstats d USING (doc_id)
+  JOIN lex l USING (term)
+  CROSS JOIN cstats c
+),
+qs1 AS (
+  SELECT q.qid, p.doc_id, sum(p.score) AS score
+  FROM qterms q JOIN persc p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+fb AS (
+  SELECT qid, doc_id, score_r FROM (
+    SELECT qid, doc_id, round(score, 9) AS score_r,
+           row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rn
+    FROM qs1
+  ) WHERE rn <= {fb_docs}
+),
+fterm AS (
+  SELECT f.qid, t.term, sum((t.tf::DOUBLE / d.doc_len) * f.score_r) AS rmw
+  FROM fb f JOIN tfs t USING (doc_id) JOIN docstats d USING (doc_id)
+  GROUP BY f.qid, t.term
+),
+rmsum AS (SELECT qid, sum(rmw) AS z FROM fterm GROUP BY qid),
+rmp AS (
+  SELECT f.qid, f.term, round(f.rmw / s.z, 9) AS p
+  FROM fterm f JOIN rmsum s USING (qid)
+),
+rmtop AS (
+  SELECT qid, term, p FROM (
+    SELECT qid, term, p,
+           row_number() OVER (PARTITION BY qid ORDER BY p DESC, term) AS rn
+    FROM rmp
+  ) WHERE rn <= {fb_terms}
+),
+nqs AS (SELECT qid, count(*)::DOUBLE AS nq FROM qterms GROUP BY qid),
+allw AS (
+  SELECT qid, term, round(sum(w), 9) AS w FROM (
+    SELECT q.qid, q.term, {alpha} / n.nq AS w
+    FROM qterms q JOIN nqs n USING (qid)
+    UNION ALL
+    SELECT qid, term, {1.0 - alpha} * p AS w FROM rmtop
+  ) GROUP BY qid, term
+),
+qs2 AS (
+  SELECT w.qid, p.doc_id, sum(w.w * p.score) AS score
+  FROM allw w JOIN persc p ON p.term = w.term
+  GROUP BY w.qid, p.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 9) AS score_r,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+  FROM qs2
+)
+SELECT qid, doc_id, score_r, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}
 """
     )
 
@@ -1045,6 +1138,7 @@ SELECT t.term, t.doc_id,
 FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
+        "rm3_search": _rm3_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "

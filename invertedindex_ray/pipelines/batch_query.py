@@ -57,10 +57,13 @@ def parse_queries(queries: list[tuple[str, str]], cfg: IndexConfig):
 
 def batch_topk(
     sf_dir: str,
-    queries: list[tuple[str, str]],
+    queries: list[tuple[str, str]] | None,
     k: int = 20,
     cfg: IndexConfig = NOSTEM,
     exclude: dict[str, int] | None = None,
+    *,
+    parsed: list[tuple[str, str, frozenset]] | None = None,
+    term_weights: dict[str, dict[str, float]] | None = None,
 ) -> pa.Table:
     """Returns (qid, doc_id, score_r, rank) for every query.
 
@@ -69,8 +72,16 @@ def batch_topk(
     term. OR ignores missing terms. ``exclude`` maps a qid to one doc_id
     dropped from that query's results BEFORE ranking (the
     more-like-this seed-exclusion hook).
+
+    ``parsed`` bypasses :func:`parse_queries` with pre-parsed
+    ``(qid, qtype, terms)`` triples — the hook for callers whose terms
+    are already corpus tokens and must NOT be re-preprocessed (RM3
+    expansion terms). ``term_weights[qid][term]`` scales that term's
+    BM25 contribution for that query (default 1.0) — the weighted-query
+    primitive RM3 scores with.
     """
-    parsed = parse_queries(queries, cfg)
+    if parsed is None:
+        parsed = parse_queries(queries, cfg)
     all_terms = sorted(set().union(*[t for _, _, t in parsed]) if parsed else set())
     if not all_terms:
         return pa.table(
@@ -157,7 +168,10 @@ def batch_topk(
             for qid in term_to_queries.get(t, ()):
                 qids.append(qid)
                 d_out.append(doc_id[i])
-                s_out.append(score[i])
+                if term_weights is not None:
+                    s_out.append(score[i] * term_weights.get(qid, {}).get(t, 1.0))
+                else:
+                    s_out.append(score[i])
         return pa.table(
             {
                 "qid": pa.array(qids, type=pa.string()),

@@ -1138,3 +1138,73 @@ class TestDSIR:
         mean_en = m.loc[m["lang"] == "en", "dsir_logw_r"].mean()
         mean_rest = m.loc[m["lang"] != "en", "dsir_logw_r"].mean()
         assert mean_en > mean_rest
+
+
+class TestRM3:
+    QUERIES = [
+        ("r1", "OR join hash merge"),
+        ("r2", "OR data query stream"),
+        ("r3", "AND sort merge join"),  # treated disjunctively by RM3
+    ]
+
+    def test_matches_sql_oracle(self):
+        """Bit-exact parity of the full feedback loop with the driver
+        oracle at sf0.001 (driver query set)."""
+        import duckdb
+        import pandas as pd
+        import __ray_entry__ as e
+
+        from invertedindex_ray.pipelines.rm3 import rm3_search
+        from invertedindex_ray.pipelines.query_sets import DRIVER_QUERY_SET
+
+        df = (
+            rm3_search(SF, DRIVER_QUERY_SET)
+            .to_pandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        exp = (
+            con.execute(e.oracle_sql()["rm3_search"])
+            .df()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(df, exp, check_dtype=False)
+
+    def test_alpha_one_degenerates_to_plain_or(self):
+        """alpha=1.0 kills the expansion: ranking must equal the plain
+        disjunctive batch retrieval (scores scaled by 1/|q|)."""
+        from invertedindex_ray.pipelines.batch_query import batch_topk, parse_queries
+        from invertedindex_ray.pipelines.analytics import NOSTEM
+        from invertedindex_ray.pipelines.rm3 import rm3_search
+
+        got = rm3_search(SF, self.QUERIES, alpha=1.0, k=10).to_pandas()
+        parsed = [(q, "or", t) for q, _, t in parse_queries(self.QUERIES, NOSTEM)]
+        plain = batch_topk(SF, None, k=10, parsed=parsed).to_pandas()
+        g = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+        p = plain.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert (g["qid"] == p["qid"]).all()
+        assert (g["doc_id"] == p["doc_id"]).all()
+
+    def test_expansion_changes_ranking(self):
+        """With default alpha the expanded query must retrieve at least
+        one doc the original top-k missed (otherwise feedback is a no-op
+        and the operator is pointless)."""
+        from invertedindex_ray.pipelines.batch_query import batch_topk, parse_queries
+        from invertedindex_ray.pipelines.analytics import NOSTEM
+        from invertedindex_ray.pipelines.rm3 import rm3_search
+
+        got = rm3_search(SF, self.QUERIES, k=10).to_pandas()
+        parsed = [(q, "or", t) for q, _, t in parse_queries(self.QUERIES, NOSTEM)]
+        plain = batch_topk(SF, None, k=10, parsed=parsed).to_pandas()
+        diff = False
+        for qid in got["qid"].unique():
+            a = set(got.loc[got["qid"] == qid, "doc_id"])
+            b = set(plain.loc[plain["qid"] == qid, "doc_id"])
+            if a - b:
+                diff = True
+        assert diff
