@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.rm3", fromlist=["x"]
         ).rm3_search(sf, DRIVER_QUERY_SET),
+        # --- substring-level duplicate spans (Lee et al. 2022 shape) ---
+        "dup_ngram_spans": lambda sf: __import__(
+            "invertedindex_ray.pipelines.spans", fromlist=["x"]
+        ).dup_ngram_spans(sf),
         # --- dedup family ---
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_passages": lambda sf: dedup.passage_dedup(sf),
@@ -462,6 +466,36 @@ SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
 """
     )
+
+
+def _dup_spans_sql(n: int = 8) -> str:
+    """Mirror of pipelines.spans.dup_ngram_spans: hashed word n-grams,
+    keep positions whose gram occurs in >1 distinct doc, merge
+    consecutive start positions (gaps-and-islands)."""
+    gram = " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]" for j in range(n))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, {gram} AS gram
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a) - {n - 1})) AS i) s
+  WHERE len(a) >= {n}
+),
+h AS (SELECT doc_id, i, (md5_number_lower(gram) >> 1)::BIGINT AS h FROM g),
+dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT doc_id, i FROM h JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+)
+SELECT doc_id, min(i)::BIGINT AS span_start,
+       (max(i) + {n - 1})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
 
 
 def _rm3_sql(fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5,
@@ -1139,6 +1173,7 @@ FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
         "rm3_search": _rm3_sql(),
+        "dup_ngram_spans": _dup_spans_sql(),
         "more_like_this": _mlt_sql(),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "

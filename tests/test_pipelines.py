@@ -1208,3 +1208,60 @@ class TestRM3:
             if a - b:
                 diff = True
         assert diff
+
+
+class TestDupSpans:
+    def test_handcrafted_spans(self, tmp_path):
+        """Two docs share a 10-word passage -> both report a merged span
+        covering it; a doc that repeats its OWN 8-gram only is silent
+        (within-doc repeats belong to repetition_stats)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.spans import dup_ngram_spans
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        selfrep = "one two three four five six seven eight " * 2
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "prefix words here " + shared + " tail one",
+                        shared + " other suffix entirely",
+                        selfrep.strip(),
+                    ]
+                ),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        df = _pdf(dup_ngram_spans(str(d))).sort_values(
+            ["doc_id", "span_start"]
+        ).reset_index(drop=True)
+        assert set(df["doc_id"]) == {1, 2}
+        # doc 1: shared passage is words 4..13 -> starts 4..6 (n=8),
+        # span_end = 6 + 7 = 13; doc 2: starts 1..3, end 10
+        r1 = df[df["doc_id"] == 1].iloc[0]
+        assert (r1["span_start"], r1["span_end"], r1["n_grams"]) == (4, 13, 3)
+        r2 = df[df["doc_id"] == 2].iloc[0]
+        assert (r2["span_start"], r2["span_end"], r2["n_grams"]) == (1, 10, 3)
+
+    def test_corpus_invariants(self):
+        """Spans are within doc token bounds, non-overlapping per doc,
+        and every span length >= n words."""
+        from invertedindex_ray.pipelines.spans import dup_ngram_spans
+        from invertedindex_ray.pipelines.textstats import token_count
+
+        df = _pdf(dup_ngram_spans(SF))
+        nt = _pdf(token_count(SF)).set_index("doc_id")["n_tokens"]
+        assert len(df) > 0
+        assert (df["span_start"] >= 1).all()
+        assert (df["span_end"] - df["span_start"] >= 7).all()
+        assert (df["span_end"] <= df["doc_id"].map(nt)).all()
+        for _, g in df.groupby("doc_id"):
+            g = g.sort_values("span_start")
+            # merged islands: next span starts at least 2 after prev start
+            # and must not be mergeable (gap in start positions)
+            assert (g["span_start"].diff().dropna() > g["n_grams"].iloc[:-1].values).all()
