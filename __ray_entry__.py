@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passages": lambda sf: dedup.passage_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold=0.5),
         "simhash_fingerprints": lambda sf: dedup.simhash_fingerprints(sf),
         "dedup_simhash": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(
@@ -1028,6 +1029,35 @@ FROM est WHERE j >= 0.5
 """
 
 
+def _dedup_clusters_sql() -> str:
+    """Mirror of pipelines.dedup.dedup_clusters: connected components
+    over the MinHash-LSH verified pairs (the full _minhash_sql body runs
+    as a derived table), via a recursive min-label-reachability CTE —
+    min(lab) over everything reachable IS the component minimum because
+    edges are symmetrized, exactly the fixpoint the distributed hash-min
+    loop converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+lab AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node),
+sz AS (SELECT rep, count(*)::BIGINT AS cluster_size FROM lab GROUP BY rep)
+SELECT l.node::BIGINT AS doc_id, l.rep::BIGINT AS cluster_rep, s.cluster_size
+FROM lab l JOIN sz s ON s.rep = l.rep
+"""
+
+
 def _phrase_sql() -> str:
     """Positional self-join mirror of pipelines/phrase.py: tokens are
     maximal [a-z0-9]+ runs; a phrase of m terms matches at p when the m
@@ -1074,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         # the identical oracle re-checks that equivalence end-to-end
         "topk_wand": _topk_daat_nostem_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "topk_daat_distributed": _topk_daat_nostem_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,

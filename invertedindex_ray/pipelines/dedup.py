@@ -1101,3 +1101,180 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
         on=("doc_id",),
     )
     return joined.map_batches(reconstruct, batch_format="pyarrow")
+
+
+# --------------------------------------------------- near-dup clustering (CC)
+
+def cluster_pairs(pairs, *, max_iters: int = 32):
+    """Connected components over a (doc_a, doc_b) pair dataset:
+    ``(doc_id, cluster_rep, cluster_size)`` for every doc that appears in
+    at least one pair, where cluster_rep is the MINIMUM doc_id reachable
+    through pair edges (transitive: A~B, B~C puts A and C in one cluster
+    even when (A, C) itself never surfaced as a pair). This is the
+    standard completion step of MinHash dedup — pick one representative
+    per component, drop the rest.
+
+    Algorithm: distributed hash-min label propagation. The edge set is
+    symmetrized and materialized once; each iteration is ONE keyed
+    reduction (functions.grouping) over edges + label rows, entirely
+    vectorized (lexsort + minimum.reduceat per hash partition):
+
+      per node: cur = min(node, all label candidates received);
+      emit cur along every outgoing edge + keep cur as the node's label.
+
+    The component minimum spreads one hop per iteration, so rounds =
+    graph diameter. Near-dup components are near-cliques (every pair
+    over the LSH threshold surfaces as its own edge), so 2-4 rounds are
+    typical; a pathological chain of length D needs D rounds —
+    ``max_iters`` caps that LOUDLY (RuntimeError, never a silently
+    wrong answer). Convergence is detected distributively: each
+    partition emits one counter row (kind=3) with its changed-node
+    count and the driver sums a tiny column — per-iteration driver
+    state is O(1).
+
+    At 100 TB the label/edge bag stays bounded by (2 x pairs + nodes)
+    slim 17 B rows and every round is the same hash-partitioned
+    exchange the rest of the dedup family uses — no driver-side graph
+    ever materializes.
+    """
+    import ray.data  # noqa: F401  (ensures rd available downstream)
+
+    rows_schema = pa.schema(
+        [("node", pa.int64()), ("val", pa.int64()), ("kind", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_rep", pa.int64()),
+            ("cluster_size", pa.int64()),
+        ]
+    )
+    NOVAL = np.iinfo(np.int64).max
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "val": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "kind": pa.array(
+                    np.zeros(2 * len(a), dtype=np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    edges, n_edges = _materialized_nonempty(
+        pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            symmetrize, batch_format="pyarrow"
+        ),
+        rows_schema,
+    )
+    if n_edges == 0:
+        return _rd_empty(out_schema)
+
+    def part(batch: pa.Table) -> np.ndarray:
+        return _mix64(
+            batch["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) & np.uint64(31)
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        val = g["val"].to_numpy()
+        kind = g["kind"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        node, val, kind = node[order], val[order], kind[order]
+        m = len(node)
+        new = np.ones(m, dtype=bool)
+        new[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(new)
+        uniq = node[starts]
+        # settled label: min(node, every candidate received, prev label)
+        cand = np.where(kind >= 1, val, NOVAL)
+        cur = np.minimum(np.minimum.reduceat(cand, starts), uniq)
+        # previous settled label (kind=2 rows), NOVAL on iteration 1
+        pv = np.where(kind == 2, val, NOVAL)
+        prev = np.minimum.reduceat(pv, starts)
+        changed = int(np.count_nonzero(cur != prev))
+        # message along every edge: target node <- source's label
+        grp = np.cumsum(new) - 1
+        e = kind == 0
+        msg_node = val[e]
+        msg_val = cur[grp[e]]
+        out_node = np.concatenate([uniq, msg_node, [-1]])
+        out_val = np.concatenate([cur, msg_val, [changed]])
+        out_kind = np.concatenate(
+            [
+                np.full(len(uniq), 2, dtype=np.int32),
+                np.ones(len(msg_node), dtype=np.int32),
+                [3],
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "node": out_node.astype(np.int64),
+                "val": out_val.astype(np.int64),
+                "kind": out_kind.astype(np.int32),
+            }
+        )
+
+    import pyarrow.compute as pc  # noqa: F401
+
+    labels = None
+    for _ in range(max_iters):
+        src = edges if labels is None else edges.union(labels)
+        m, _n = _materialized_nonempty(
+            _grouped_partitions(src, part, step, rows_schema), rows_schema
+        )
+        changed = (
+            m.filter(expr="kind == 3").sum("val", ignore_nulls=True) or 0
+        )
+        labels = m.filter(expr="kind != 3").materialize()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iters} rounds "
+            "(component diameter exceeds the cap); raise max_iters"
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # group by settled rep: every member row (kind=2) of one
+        # component lands in one partition because we partition by rep
+        node = g["node"].to_numpy()
+        val = g["val"].to_numpy()
+        kind = g["kind"].to_numpy()
+        keep = kind == 2
+        node, rep = node[keep], val[keep]
+        order = np.argsort(rep, kind="stable")
+        node, rep = node[order], rep[order]
+        m = len(rep)
+        new = np.ones(m, dtype=bool)
+        new[1:] = rep[1:] != rep[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, m))
+        return pd.DataFrame(
+            {
+                "doc_id": node.astype(np.int64),
+                "cluster_rep": rep.astype(np.int64),
+                "cluster_size": np.repeat(sizes, sizes).astype(np.int64),
+            }
+        )
+
+    return _grouped_partitions(
+        labels,
+        lambda b: _mix64(
+            b["val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        & np.uint64(31),
+        finish,
+        out_schema,
+    )
+
+
+def dedup_clusters(sf_dir: str, **lsh_kw):
+    """(doc_id, cluster_rep, cluster_size): transitive near-duplicate
+    clusters over the verified MinHash-LSH pairs — the pairs->components
+    ->representative step that turns pairwise dedup signals into a
+    keep-one-per-cluster decision."""
+    return cluster_pairs(minhash_lsh_pairs(sf_dir, **lsh_kw))

@@ -1265,3 +1265,75 @@ class TestDupSpans:
             # merged islands: next span starts at least 2 after prev start
             # and must not be mergeable (gap in start positions)
             assert (g["span_start"].diff().dropna() > g["n_grams"].iloc[:-1].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupClusters:
+    def _pairs(self, a, b):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(a, type=pa.int64()),
+                    "doc_b": pa.array(b, type=pa.int64()),
+                }
+            )
+        )
+
+    def test_handcrafted_components(self):
+        """Chain (diameter 9, stresses multi-round propagation),
+        triangle, isolated pair: transitive closure with min-id rep."""
+        from invertedindex_ray.pipelines.dedup import cluster_pairs
+
+        a = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 100, 101, 200]
+        b = [2, 3, 4, 5, 6, 7, 8, 9, 10, 101, 102, 102, 201]
+        df = _pdf(cluster_pairs(self._pairs(a, b))).sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+        chain = df[df.doc_id <= 10]
+        assert len(chain) == 10
+        assert (chain.cluster_rep == 1).all()
+        assert (chain.cluster_size == 10).all()
+        tri = df[(df.doc_id >= 100) & (df.doc_id <= 102)]
+        assert (tri.cluster_rep == 100).all() and (tri.cluster_size == 3).all()
+        pair = df[df.doc_id >= 200]
+        assert (pair.cluster_rep == 200).all() and (pair.cluster_size == 2).all()
+
+    def test_nonconvergence_is_loud(self):
+        """A diameter-5 chain cannot converge in 3 rounds: the cap must
+        raise, never return a silently-wrong partial labeling."""
+        from invertedindex_ray.pipelines.dedup import cluster_pairs
+
+        p = self._pairs([1, 2, 3, 4, 5], [2, 3, 4, 5, 6])
+        with pytest.raises(RuntimeError, match="converge"):
+            _pdf(cluster_pairs(p, max_iters=3))
+
+    def test_corpus_matches_union_find(self):
+        """dedup_clusters == a local union-find over the same verified
+        MinHash pairs (independent reference implementation)."""
+        from invertedindex_ray.pipelines.dedup import (
+            dedup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        pairs = _pdf(minhash_lsh_pairs(SF, threshold=0.5))
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs.doc_a, pairs.doc_b):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {n: find(n) for n in parent}
+        df = _pdf(dedup_clusters(SF, threshold=0.5))
+        got = dict(zip(df.doc_id.astype(int), df.cluster_rep.astype(int)))
+        assert got == expect
+        sizes = df.groupby("cluster_rep")["doc_id"].transform("size")
+        assert (df.cluster_size.to_numpy() == sizes.to_numpy()).all()
