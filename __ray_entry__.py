@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold=0.5),
+        "dedup_filter": lambda sf: dedup.dedup_filter(sf, threshold=0.5),
         "simhash_fingerprints": lambda sf: dedup.simhash_fingerprints(sf),
         "dedup_simhash": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(
@@ -1105,6 +1106,12 @@ def oracle_sql() -> dict[str, str]:
         "topk_wand": _topk_daat_nostem_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_filter": (
+            "SELECT d.doc_id::BIGINT AS doc_id, d.n_chars::BIGINT AS n_chars "
+            "FROM documents d WHERE d.doc_id NOT IN "
+            f"(SELECT doc_id FROM ({_dedup_clusters_sql()}) c "
+            "WHERE c.doc_id <> c.cluster_rep)"
+        ),
         "topk_daat_distributed": _topk_daat_nostem_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,

@@ -1278,3 +1278,70 @@ def dedup_clusters(sf_dir: str, **lsh_kw):
     ->representative step that turns pairwise dedup signals into a
     keep-one-per-cluster decision."""
     return cluster_pairs(minhash_lsh_pairs(sf_dir, **lsh_kw))
+
+
+def dedup_filter(sf_dir: str, **lsh_kw):
+    """(doc_id, n_chars): the DEDUPLICATED corpus — every document
+    survives except near-dup cluster members that are not their
+    cluster's representative (min doc_id). The keep-one-per-cluster
+    materialization on top of :func:`dedup_clusters`.
+
+    Scale shape: the removal set (cluster members minus reps) can be a
+    large fraction of the corpus at web scale (30-50% of CommonCrawl),
+    so it is NEVER broadcast — a slim (doc_id, flag) row per removal is
+    left-outer hash-joined against the doc table and survivors keep
+    rows with no match. Join fan-out derives from the doc count, not
+    cluster size."""
+    import ray.data as rd
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    removal_schema = pa.schema([("doc_id", pa.int64()), ("_rm", pa.int64())])
+
+    def removals(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = batch["cluster_rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != reps
+        ids = ids[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "_rm": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    rm, n_rm = _materialized_nonempty(
+        dedup_clusters(sf_dir, **lsh_kw).map_batches(
+            removals, batch_format="pyarrow"
+        ),
+        removal_schema,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    if n_rm == 0:
+        return docs
+
+    n_docs = docs.count()
+    nparts = int(max(2, min(64, 1 + n_docs // 100_000)))
+    joined = docs.join(
+        rm,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.is_null(batch["_rm"]))
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"].cast(pa.int64()),
+                "n_chars": kept["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -1337,3 +1337,20 @@ class TestDedupClusters:
         assert got == expect
         sizes = df.groupby("cluster_rep")["doc_id"].transform("size")
         assert (df.cluster_size.to_numpy() == sizes.to_numpy()).all()
+
+    def test_dedup_filter_keeps_reps_only(self):
+        """Survivors = corpus minus non-representative cluster members;
+        every cluster keeps exactly its min-id rep."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.dedup import dedup_clusters, dedup_filter
+
+        cl = _pdf(dedup_clusters(SF, threshold=0.5))
+        kept = set(_pdf(dedup_filter(SF, threshold=0.5)).doc_id.astype(int))
+        all_ids = set(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )
+        removed = set(cl[cl.doc_id != cl.cluster_rep].doc_id.astype(int))
+        assert kept == all_ids - removed
+        assert set(cl.cluster_rep.astype(int)) <= kept
