@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
         ).phrase_search(sf),
+        "proximity_search": lambda sf: __import__(
+            "invertedindex_ray.pipelines.proximity", fromlist=["x"]
+        ).proximity_search(sf),
         # --- RM3 pseudo-relevance feedback (two-pass weighted retrieval) ---
         "rm3_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.rm3", fromlist=["x"]
@@ -1030,6 +1033,39 @@ FROM est WHERE j >= 0.5
 """
 
 
+def _proximity_sql() -> str:
+    """Positional self-join mirror of pipelines/proximity.py: ordered
+    (a, b) occurrence pairs with |p_a - p_b| <= window, count + min
+    distance per doc; tokenization identical to the phrase mirror."""
+    from invertedindex_ray.pipelines.proximity import DRIVER_PROX
+
+    parts = []
+    for ta, tb, w in DRIVER_PROX:
+        ea, eb = ta.replace("'", "''"), tb.replace("'", "''")
+        parts.append(
+            f"SELECT '{ea} {eb}' AS query, a.doc_id,\n"
+            f"       count(*)::BIGINT AS n_pairs,\n"
+            f"       min(abs(a.p - b.p))::BIGINT AS min_dist\n"
+            f"FROM pos a JOIN pos b ON b.doc_id = a.doc_id\n"
+            f"  AND b.p BETWEEN a.p - {w} AND a.p + {w}\n"
+            f"WHERE a.term = '{ea}' AND b.term = '{eb}'\n"
+            f"GROUP BY a.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(generate_series(1, len(toks))) AS p
+  FROM tok
+)
+{union}
+"""
+
+
 def _dedup_clusters_sql() -> str:
     """Mirror of pipelines.dedup.dedup_clusters: connected components
     over the MinHash-LSH verified pairs (the full _minhash_sql body runs
@@ -1099,6 +1135,7 @@ pos AS (
 def oracle_sql() -> dict[str, str]:
     sql = {
         "phrase_search": _phrase_sql(),
+        "proximity_search": _proximity_sql(),
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
         # WAND returns the same top-k as MaxScore (see engine docstring):

@@ -1354,3 +1354,60 @@ class TestDedupClusters:
         removed = set(cl[cl.doc_id != cl.cluster_rep].doc_id.astype(int))
         assert kept == all_ids - removed
         assert set(cl.cluster_rep.astype(int)) <= kept
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProximity:
+    def test_handcrafted_windows(self, tmp_path):
+        """Window-edge inclusion, ordered-pair counting, min distance,
+        cross-doc isolation, absent terms."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.proximity import proximity_search
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        # alpha at 1,6; beta at 4 -> pairs (1,4) d=3 in,
+                        # (6,4) d=2 in for w=3 => n_pairs=2, min=2
+                        "alpha x y beta z alpha",
+                        # alpha at 1, beta at 5 -> d=4 > w=3: no row
+                        "alpha x y z beta",
+                        # beta only: pairing with doc 1's alphas must NOT leak
+                        "beta beta beta",
+                    ]
+                ),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        df = _pdf(
+            proximity_search(str(d), queries=[("alpha", "beta", 3), ("alpha", "nope", 9)])
+        )
+        assert len(df) == 1
+        r = df.iloc[0]
+        assert (r["doc_id"], r["n_pairs"], r["min_dist"]) == (1, 2, 2)
+
+    def test_symmetric_window(self, tmp_path):
+        """b before a counts too (|pa - pb| semantics, both orders)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.proximity import proximity_search
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "text": pa.array(["beta x alpha"]),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        df = _pdf(proximity_search(str(d), queries=[("alpha", "beta", 2)]))
+        assert len(df) == 1
+        assert (df.iloc[0]["n_pairs"], df.iloc[0]["min_dist"]) == (1, 2)
