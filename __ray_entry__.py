@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
+        "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1033,6 +1034,50 @@ FROM est WHERE j >= 0.5
 """
 
 
+def _dsir_weights_sql() -> str:
+    """Mirror of pipelines.textstats.dsir_weights (hashed n-gram
+    importance weights); shared by the dsir_select oracle."""
+    return """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, a[i] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) s WHERE len(a) >= 1),
+bi  AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s WHERE len(a) >= 2),
+hb AS (SELECT doc_id, ((md5_number_lower(gram) >> 1)::BIGINT % 4096) AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+tgt AS (SELECT b, count(*)::BIGINT AS n FROM hb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+rw  AS (SELECT b, count(*)::BIGINT AS n FROM hb GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(n),0) FROM tgt)::DOUBLE AS t, (SELECT coalesce(sum(n),0) FROM rw)::DOUBLE AS r),
+lr AS (
+  SELECT rw.b,
+         ln((coalesce(tgt.n,0) + 1)::DOUBLE / (tot.t + 4096)) - ln((rw.n + 1)::DOUBLE / (tot.r + 4096)) AS w
+  FROM rw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT hb.doc_id, count(*)::BIGINT AS n_grams, round(sum(lr.w), 6) AS dsir_logw_r
+FROM hb JOIN lr USING (b)
+GROUP BY hb.doc_id"""
+
+
+def _dsir_select_sql(n: int = 100) -> str:
+    """Mirror of pipelines.textstats.dsir_select: Gumbel-top-k over the
+    DSIR weights with the derandomized md5-of-doc_id uniform (53
+    mantissa bits + 0.5), key rounded to 6 dp, ties broken by doc_id."""
+    m53 = (1 << 53) - 1
+    d53 = float(1 << 53)
+    return f"""
+WITH d AS ({_dsir_weights_sql()}),
+k AS (
+  SELECT doc_id, dsir_logw_r,
+         round(dsir_logw_r + (-ln(-ln(
+           ((((md5_number_lower(doc_id::VARCHAR) >> 1)::BIGINT) & {m53})::DOUBLE + 0.5) / {d53!r}
+         ))), 6) AS sel_key_r
+  FROM d
+)
+SELECT doc_id, dsir_logw_r, sel_key_r
+FROM k ORDER BY sel_key_r DESC, doc_id LIMIT {int(n)}
+"""
+
+
 def _proximity_sql() -> str:
     """Positional self-join mirror of pipelines/proximity.py: ordered
     (a, b) occurrence pairs with |p_a - p_b| <= window, count + min
@@ -1358,25 +1403,8 @@ FROM dw d JOIN cnt c USING (w) CROSS JOIN tot t
 GROUP BY d.doc_id""",
         # DSIR hashed-n-gram importance weights: target = lang='en',
         # raw = whole corpus, add-one smoothing over 4096 md5 buckets.
-        "dsir_weights": """
-WITH tk AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a
-  FROM documents
-),
-uni AS (SELECT doc_id, a[i] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) s WHERE len(a) >= 1),
-bi  AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s WHERE len(a) >= 2),
-hb AS (SELECT doc_id, ((md5_number_lower(gram) >> 1)::BIGINT % 4096) AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-tgt AS (SELECT b, count(*)::BIGINT AS n FROM hb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
-rw  AS (SELECT b, count(*)::BIGINT AS n FROM hb GROUP BY b),
-tot AS (SELECT (SELECT coalesce(sum(n),0) FROM tgt)::DOUBLE AS t, (SELECT coalesce(sum(n),0) FROM rw)::DOUBLE AS r),
-lr AS (
-  SELECT rw.b,
-         ln((coalesce(tgt.n,0) + 1)::DOUBLE / (tot.t + 4096)) - ln((rw.n + 1)::DOUBLE / (tot.r + 4096)) AS w
-  FROM rw LEFT JOIN tgt USING (b) CROSS JOIN tot
-)
-SELECT hb.doc_id, count(*)::BIGINT AS n_grams, round(sum(lr.w), 6) AS dsir_logw_r
-FROM hb JOIN lr USING (b)
-GROUP BY hb.doc_id""",
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         "repetition_stats": """
 WITH tk AS (
   SELECT doc_id,

@@ -687,3 +687,70 @@ def dsir_weights(sf_dir: str, *, num_buckets: int = 4096, target_lang: str = "en
         )
 
     return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(
+    sf_dir: str,
+    *,
+    n: int = 100,
+    num_buckets: int = 4096,
+    target_lang: str = "en",
+):
+    """(doc_id, dsir_logw_r, sel_key_r): the DSIR SELECTION step —
+    Gumbel-top-k resampling without replacement over the importance
+    weights of :func:`dsir_weights` (Xie et al. 2023 §2.3: adding
+    independent Gumbel(0,1) noise to log-weights and taking the top-k
+    samples k docs without replacement with probability proportional to
+    exp(log w)). The Gumbel draw is DERANDOMIZED: u is derived from the
+    md5 of the decimal doc_id (53 explicit mantissa bits, +0.5 to dodge
+    u=0), so the selection is reproducible across runs/cluster sizes and
+    the DuckDB oracle recomputes it bit-for-bit.
+
+    Scale shape: one map over the (already reduced, one row per doc)
+    weight table adds the key; each block emits only its local top-n
+    (any global top-n row is in its block's top-n), and the driver
+    merges <= n x #blocks slim rows — no corpus-wide sort.
+    """
+    import pandas as pd
+
+    from invertedindex_ray.functions.hashing import md5_hash63
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    M53 = np.int64((1 << 53) - 1)
+    D53 = float(1 << 53)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dsir_logw_r", pa.float64()),
+            ("sel_key_r", pa.float64()),
+        ]
+    )
+
+    def topn_with_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lw = batch["dsir_logw_r"].to_numpy(zero_copy_only=False)
+        h = md5_hash63([str(int(i)) for i in ids])
+        u = ((h & M53).astype(np.float64) + 0.5) / D53
+        key = round_half_up(lw + (-np.log(-np.log(u))), 6)
+        # block-local top-n by (key desc, doc_id asc)
+        order = np.lexsort((ids, -key))[: int(n)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "dsir_logw_r": pa.array(lw[order], type=pa.float64()),
+                "sel_key_r": pa.array(key[order], type=pa.float64()),
+            }
+        )
+
+    rows = (
+        dsir_weights(sf_dir, num_buckets=num_buckets, target_lang=target_lang)
+        .map_batches(topn_with_key, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: <= n rows per block
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "dsir_logw_r", "sel_key_r"]
+    ).sort_values(["sel_key_r", "doc_id"], ascending=[False, True])
+    return df.head(int(n)).reset_index(drop=True)

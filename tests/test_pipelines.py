@@ -1411,3 +1411,25 @@ class TestProximity:
         df = _pdf(proximity_search(str(d), queries=[("alpha", "beta", 2)]))
         assert len(df) == 1
         assert (df.iloc[0]["n_pairs"], df.iloc[0]["min_dist"]) == (1, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDSIRSelect:
+    def test_matches_local_gumbel_topk(self):
+        """dsir_select == local Gumbel-top-k recomputed from the weight
+        table (independent reference path, no block-partial logic)."""
+        from invertedindex_ray.functions.hashing import md5_hash63
+        from invertedindex_ray.functions.rounding import round_half_up
+        from invertedindex_ray.pipelines.textstats import dsir_select, dsir_weights
+
+        w = _pdf(dsir_weights(SF))
+        h = md5_hash63([str(int(i)) for i in w.doc_id])
+        u = ((h & np.int64((1 << 53) - 1)).astype(np.float64) + 0.5) / float(1 << 53)
+        w = w.assign(key=round_half_up(w.dsir_logw_r.to_numpy() + (-np.log(-np.log(u))), 6))
+        expect = w.sort_values(["key", "doc_id"], ascending=[False, True]).head(20)
+        got = dsir_select(SF, n=20)
+        assert list(got.doc_id) == list(expect.doc_id)
+        assert np.allclose(got.sel_key_r, expect.key)
+        # deterministic across runs
+        again = dsir_select(SF, n=20)
+        assert list(again.doc_id) == list(got.doc_id)
