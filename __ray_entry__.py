@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.proximity", fromlist=["x"]
         ).proximity_search(sf),
+        "snippet_windows": lambda sf: __import__(
+            "invertedindex_ray.pipelines.snippet", fromlist=["x"]
+        ).snippet_windows(sf),
         # --- RM3 pseudo-relevance feedback (two-pass weighted retrieval) ---
         "rm3_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.rm3", fromlist=["x"]
@@ -1058,6 +1061,43 @@ FROM hb JOIN lr USING (b)
 GROUP BY hb.doc_id"""
 
 
+def _snippet_sql() -> str:
+    """Mirror of pipelines.snippet.snippet_windows: hit-anchored
+    w-token windows, max hit count per doc, earliest anchor on ties."""
+    from invertedindex_ray.pipelines.snippet import DRIVER_SNIPPETS
+
+    parts = []
+    for q, w in DRIVER_SNIPPETS:
+        terms = ", ".join("'%s'" % t.replace("'", "''") for t in q.split())
+        eq = q.replace("'", "''")
+        parts.append(
+            f"SELECT '{eq}' AS query, doc_id, win_start, n_hits FROM (\n"
+            f"  WITH hits AS (SELECT doc_id, p FROM pos WHERE term IN ({terms})),\n"
+            f"  wins AS (SELECT a.doc_id, a.p AS s, count(*)::BIGINT AS c\n"
+            f"           FROM hits a JOIN hits b ON b.doc_id = a.doc_id\n"
+            f"             AND b.p BETWEEN a.p AND a.p + {w - 1}\n"
+            f"           GROUP BY a.doc_id, a.p),\n"
+            f"  best AS (SELECT doc_id, max(c) AS mc FROM wins GROUP BY doc_id)\n"
+            f"  SELECT w.doc_id, min(w.s)::BIGINT AS win_start, b.mc::BIGINT AS n_hits\n"
+            f"  FROM wins w JOIN best b ON b.doc_id = w.doc_id AND w.c = b.mc\n"
+            f"  GROUP BY w.doc_id, b.mc\n"
+            f")"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(generate_series(1, len(toks))) AS p
+  FROM tok
+)
+{union}
+"""
+
+
 def _dsir_select_sql(n: int = 100) -> str:
     """Mirror of pipelines.textstats.dsir_select: Gumbel-top-k over the
     DSIR weights with the derandomized md5-of-doc_id uniform (53
@@ -1181,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "phrase_search": _phrase_sql(),
         "proximity_search": _proximity_sql(),
+        "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
         # WAND returns the same top-k as MaxScore (see engine docstring):

@@ -1433,3 +1433,40 @@ class TestDSIRSelect:
         # deterministic across runs
         again = dsir_select(SF, n=20)
         assert list(again.doc_id) == list(got.doc_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSnippet:
+    def test_handcrafted_best_window(self, tmp_path):
+        """Max-hit window wins; earliest anchor breaks ties; zero-hit
+        docs and absent-term queries emit nothing."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.snippet import snippet_windows
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        # hits at 1, 5, 6, 7 (alpha/beta); w=4: window
+                        # anchored at 5 holds {5,6,7} = 3 hits (max)
+                        "alpha x y z beta alpha beta z z",
+                        # hits at 2 and 6; w=4 -> two windows of 1 hit
+                        # each; earliest anchor 2 wins the tie
+                        "x alpha y z q beta",
+                        "nothing relevant here",
+                    ]
+                ),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        df = _pdf(
+            snippet_windows(str(d), queries=[("alpha beta", 4), ("zz yy", 3)])
+        ).sort_values("doc_id").reset_index(drop=True)
+        assert list(df.doc_id) == [1, 2]
+        assert (df.iloc[0]["win_start"], df.iloc[0]["n_hits"]) == (5, 3)
+        assert (df.iloc[1]["win_start"], df.iloc[1]["n_hits"]) == (2, 1)
