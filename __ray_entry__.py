@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": lambda sf: textstats.quality_filter(sf),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
         "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
+        "pmi_bigrams": lambda sf: textstats.pmi_bigrams(sf, min_count=5, k=50),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1446,6 +1447,31 @@ GROUP BY d.doc_id""",
         # raw = whole corpus, add-one smoothing over 4096 md5 buckets.
         "dsir_weights": _dsir_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "pmi_bigrams": """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a
+  FROM documents
+),
+uc AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(a) AS w FROM tk) GROUP BY w
+),
+bc AS (
+  SELECT w1, w2, count(*)::BIGINT AS c FROM (
+    SELECT a[i] AS w1, a[i+1] AS w2
+    FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s
+    WHERE len(a) >= 2
+  ) GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uc)::DOUBLE AS nu,
+         (SELECT sum(c) FROM bc)::DOUBLE AS nb
+)
+SELECT b.w1, b.w2, b.c AS n_pairs,
+       round(ln((b.c::DOUBLE / t.nb) / ((a.c::DOUBLE / t.nu) * (c2.c::DOUBLE / t.nu))), 6) AS pmi_r
+FROM bc b JOIN uc a ON a.w = b.w1 JOIN uc c2 ON c2.w = b.w2 CROSS JOIN tot t
+WHERE b.c >= 5
+ORDER BY pmi_r DESC, b.w1, b.w2 LIMIT 50""",
         "repetition_stats": """
 WITH tk AS (
   SELECT doc_id,

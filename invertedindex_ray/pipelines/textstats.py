@@ -754,3 +754,169 @@ def dsir_select(
         rows, columns=["doc_id", "dsir_logw_r", "sel_key_r"]
     ).sort_values(["sel_key_r", "doc_id"], ascending=[False, True])
     return df.head(int(n)).reset_index(drop=True)
+
+
+def pmi_bigrams(sf_dir: str, *, min_count: int = 5, k: int = 50):
+    """(w1, w2, n_pairs, pmi_r): the top-``k`` adjacent-word collocations
+    by pointwise mutual information — PMI(a,b) = ln( p(ab) / (p(a)p(b)) )
+    with p(ab) over all bigram occurrences and p(w) over all unigram
+    occurrences; ``min_count`` floors bigram support (rare pairs have
+    unstable PMI). The classic collocation/boilerplate-phrase signal for
+    corpus curation.
+
+    Scale shape: per-batch np.unique pre-aggregation (one slim partial
+    row per DISTINCT gram per batch), one hash-partitioned count
+    reduction each for unigrams and bigrams, totals via distributed
+    sums, then two slim hash-joins of the (min_count-filtered, much
+    smaller) bigram table against the unigram counts. Top-k is
+    block-local partial top-k + a <= k x #blocks driver merge — no
+    corpus-wide sort. No driver-side vocabulary ever materializes.
+    """
+    import pandas as pd
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
+        _materialized_nonempty,
+    )
+
+    uni_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+    bi_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("pmi_r", pa.float64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> list:
+        texts = batch["text"].to_pylist()
+        ws: list[str] = []
+        b1: list[str] = []
+        b2: list[str] = []
+        for t in texts:
+            words = [w for w in _WORD.split((t or "").lower()) if w]
+            ws.extend(words)
+            b1.extend(words[:-1])
+            b2.extend(words[1:])
+        return ws, b1, b2
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        ws, _, _ = partials(batch)
+        if not ws:
+            return uni_schema.empty_table()
+        u, c = np.unique(np.asarray(ws, dtype=object), return_counts=True)
+        return pa.table(
+            {"w": pa.array(list(u), type=pa.string()),
+             "c": pa.array(c.astype(np.int64), type=pa.int64())}
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _, b1, b2 = partials(batch)
+        if not b1:
+            return bi_schema.empty_table()
+        g = np.array([a + "\x00" + b for a, b in zip(b1, b2)], dtype=object)
+        u, c = np.unique(g, return_counts=True)
+        sp = [s.split("\x00") for s in u]
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in sp], type=pa.string()),
+                "w2": pa.array([p[1] for p in sp], type=pa.string()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def sum_uni(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("w", sort=False)["c"].sum().reset_index()
+        return agg[["w", "c"]]
+
+    def sum_bi(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+        return agg[["w1", "w2", "c"]]
+
+    docs = _read_docs(sf_dir)
+    uni = _grouped_partitions(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        lambda b: hash_strings(b["w"].to_pylist()) & np.uint64(31),
+        sum_uni,
+        uni_schema,
+    )
+    bi = _grouped_partitions(
+        docs.map_batches(bi_partial, batch_format="pyarrow"),
+        lambda b: (
+            hash_strings(b["w1"].to_pylist())
+            ^ hash_strings(b["w2"].to_pylist())
+        )
+        & np.uint64(31),
+        sum_bi,
+        bi_schema,
+    )
+
+    uni, n_vocab = _materialized_nonempty(uni, uni_schema)
+    bi, _ = _materialized_nonempty(bi, bi_schema)
+    n_uni = float(uni.sum("c", ignore_nulls=True) or 0)
+    n_bi = float(bi.sum("c", ignore_nulls=True) or 0)
+    if n_bi == 0:
+        return out_schema.empty_table().to_pandas()
+
+    import pyarrow.compute as pc
+
+    bi_f, n_cand = _materialized_nonempty(
+        bi.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], min_count)),
+            batch_format="pyarrow",
+        ),
+        bi_schema,
+    )
+    if n_cand == 0:
+        return out_schema.empty_table().to_pandas()
+
+    nparts = int(max(2, min(64, 1 + max(n_cand, n_vocab) // 100_000)))
+
+    def _as(t: pa.Table, key: str, cnt: str) -> pa.Table:
+        return pa.table({key: t["w"], cnt: t["c"]})
+
+    uni_a = uni.map_batches(
+        lambda t: _as(t, "w1", "c_a"), batch_format="pyarrow"
+    )
+    uni_b = uni.map_batches(
+        lambda t: _as(t, "w2", "c_b"), batch_format="pyarrow"
+    )
+    j = bi_f.join(
+        uni_a, join_type="inner", num_partitions=nparts, on=("w1",)
+    ).join(uni_b, join_type="inner", num_partitions=nparts, on=("w2",))
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cab = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = batch["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = batch["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = round_half_up(
+            np.log((cab / n_bi) / ((c_a / n_uni) * (c_b / n_uni))), 6
+        )
+        w1 = np.asarray(batch["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
+        order = np.lexsort((w2, w1, -pmi))[: int(k)]
+        return pa.table(
+            {
+                "w1": pa.array(list(w1[order]), type=pa.string()),
+                "w2": pa.array(list(w2[order]), type=pa.string()),
+                "n_pairs": pa.array(
+                    cab[order].astype(np.int64), type=pa.int64()
+                ),
+                "pmi_r": pa.array(pmi[order], type=pa.float64()),
+            }
+        )
+
+    rows = j.map_batches(topk_block, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(rows, columns=["w1", "w2", "n_pairs", "pmi_r"])
+    df = df.sort_values(
+        ["pmi_r", "w1", "w2"], ascending=[False, True, True]
+    ).head(int(k))
+    return df.reset_index(drop=True)

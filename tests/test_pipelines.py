@@ -1470,3 +1470,36 @@ class TestSnippet:
         assert list(df.doc_id) == [1, 2]
         assert (df.iloc[0]["win_start"], df.iloc[0]["n_hits"]) == (5, 3)
         assert (df.iloc[1]["win_start"], df.iloc[1]["n_hits"]) == (2, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPMI:
+    def test_handcrafted_pmi(self, tmp_path):
+        """Exclusive collocation outranks frequent-but-independent pair;
+        min_count floors support."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import pmi_bigrams
+
+        # "zig zag" always together (5x); "the cat"/"the dog" dilute "the"
+        text1 = "zig zag " * 5
+        text2 = "the cat the dog " * 5
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array([text1.strip(), text2.strip()]),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        df = pmi_bigrams(str(d), min_count=5, k=10)
+        assert (df.iloc[0]["w1"], df.iloc[0]["w2"]) == ("zig", "zag")
+        # exact PMI: c(zig zag)=5, c(zig)=c(zag)=5, N_uni=30, N_bi=28
+        expect = math.log((5 / 28) / ((5 / 30) * (5 / 30)))
+        assert abs(df.iloc[0]["pmi_r"] - round(expect, 6)) < 1e-9
+        # rare pairs (count < 5) never appear
+        assert (df["n_pairs"] >= 5).all()
