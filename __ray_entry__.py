@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": lambda sf: curation.pii_redact(sf),
         "normalize_text": lambda sf: curation.normalize_text(sf),
         "stratified_sample": lambda sf: curation.stratified_sample(sf),
+        "mix_rebalance": lambda sf: curation.mix_rebalance(sf),
         "source_stats": lambda sf: curation.source_stats(sf),
         # manifest-only here (out_dir=None): the write path + readback
         # parity is pytest-covered; the manifest math is SQL-checked
@@ -1447,6 +1448,15 @@ GROUP BY d.doc_id""",
         # raw = whole corpus, add-one smoothing over 4096 md5 buckets.
         "dsir_weights": _dsir_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "mix_rebalance": """
+WITH n AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
+w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('fr', 0.15), ('es', 0.15), ('zh', 0.15)),
+t AS (SELECT min(n.c::DOUBLE / w.wt) AS T FROM n JOIN w USING (lang)),
+r AS (SELECT n.lang, (w.wt * t.T) / n.c::DOUBLE AS rate
+      FROM n JOIN w USING (lang) CROSS JOIN t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE ((((md5_number_lower('mix:' || d.doc_id::VARCHAR) >> 1)::BIGINT) & 9007199254740991)::DOUBLE + 0.5) / 9007199254740992.0 < r.rate""",
         "pmi_bigrams": """
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS a

@@ -566,3 +566,91 @@ def pack_sequences(
         out_schema,
         n_partitions=n_shards,
     )
+
+
+# Fixed driver target mix over the corpus lang column.
+DRIVER_MIX: dict[str, float] = {
+    "en": 0.4,
+    "de": 0.15,
+    "fr": 0.15,
+    "es": 0.15,
+    "zh": 0.15,
+}
+
+
+def mix_rebalance(sf_dir: str, weights: dict[str, float] | None = None):
+    """(doc_id, lang): rebalance the corpus toward target ``weights``
+    proportions per lang by DOWNSAMPLING only — the data-mixing step of
+    a training-data pipeline (e.g. fixing a language/domain mix without
+    upweighting). The bottleneck group (smallest n/w ratio) keeps
+    everything; every other group keeps rate = w * T / n with
+    T = min_g(n_g / w_g); groups outside ``weights`` are dropped.
+
+    Selection is deterministic hash sampling (md5 of 'mix:'||doc_id,
+    53-bit uniform) — reproducible across runs and cluster sizes,
+    binomially close to the target (exact-count selection would need a
+    per-group sort; at 100 TB hash thresholding is the standard trade).
+
+    Scale shape: one partial-count map + a driver merge of <= #groups
+    slim rows (the group key is a LANG/DOMAIN-class column — bounded
+    cardinality by contract, NOT a free-text key), then one stateless
+    filter map. No shuffle at all."""
+    import ray.data as rd
+
+    weights = DRIVER_MIX if weights is None else weights
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    count_schema = pa.schema([("lang", pa.string()), ("c", pa.int64())])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        u, c = np.unique(langs, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(list(u), type=pa.string()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    n: dict[str, int] = {}
+    for r in docs.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).take_all():  # <= #langs rows per block, bounded-cardinality key
+        n[r["lang"]] = n.get(r["lang"], 0) + int(r["c"])
+
+    present = [g for g in weights if n.get(g)]
+    if not present:
+        from invertedindex_ray.functions.grouping import rd_empty
+
+        return rd_empty(out_schema)
+    T = min(float(n[g]) / float(weights[g]) for g in present)
+    rates = {g: (float(weights[g]) * T) / float(n[g]) for g in present}
+
+    M53 = np.int64((1 << 53) - 1)
+    D53 = float(1 << 53)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from invertedindex_ray.functions.hashing import md5_hash63
+
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch["lang"].to_pylist()
+        h = md5_hash63(["mix:" + str(int(i)) for i in ids])
+        u = ((h & M53).astype(np.float64) + 0.5) / D53
+        rate = np.array([rates.get(lg, 0.0) for lg in langs])
+        keep = u < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "lang": pa.array(
+                    [lg for lg, k in zip(langs, keep) if k], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(pick, batch_format="pyarrow")

@@ -1503,3 +1503,35 @@ class TestPMI:
         assert abs(df.iloc[0]["pmi_r"] - round(expect, 6)) < 1e-9
         # rare pairs (count < 5) never appear
         assert (df["n_pairs"] >= 5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMixRebalance:
+    def test_bottleneck_keeps_all_and_mix_lands(self, tmp_path):
+        """The bottleneck group keeps every doc; other groups downsample
+        toward the target ratio; unknown groups are dropped."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import mix_rebalance
+
+        n_a, n_b, n_x = 400, 50, 30
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n_a + n_b + n_x), type=pa.int64()),
+                "lang": pa.array(["en"] * n_a + ["de"] * n_b + ["xx"] * n_x),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        # target 50/50: de (50 docs) is the bottleneck -> keeps all 50,
+        # en downsamples to ~50
+        df = _pdf(mix_rebalance(str(d), weights={"en": 0.5, "de": 0.5}))
+        by = df.lang.value_counts().to_dict()
+        assert by.get("de") == n_b
+        assert "xx" not in by
+        assert abs(by.get("en", 0) - n_b) <= 25  # binomial tolerance
+        # deterministic
+        df2 = _pdf(mix_rebalance(str(d), weights={"en": 0.5, "de": 0.5}))
+        assert sorted(df.doc_id) == sorted(df2.doc_id)
