@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
         "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(sf, min_count=5, k=50),
+        "length_quantiles": lambda sf: textstats.length_quantiles(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1100,6 +1101,24 @@ pos AS (
 """
 
 
+def _length_quantiles_sql() -> str:
+    """Mirror of pipelines.textstats.length_quantiles; quantile_disc
+    requires a CONSTANT fraction, so one UNION ALL branch per q."""
+    from invertedindex_ray.pipelines.textstats import DRIVER_QUANTILES
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, quantile_disc(n_tokens, {q})::BIGINT AS n_tokens FROM tc"
+        for q in DRIVER_QUANTILES
+    )
+    return f"""
+WITH tc AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+)
+{branches}
+"""
+
+
 def _dsir_select_sql(n: int = 100) -> str:
     """Mirror of pipelines.textstats.dsir_select: Gumbel-top-k over the
     DSIR weights with the derandomized md5-of-doc_id uniform (53
@@ -1448,6 +1467,7 @@ GROUP BY d.doc_id""",
         # raw = whole corpus, add-one smoothing over 4096 md5 buckets.
         "dsir_weights": _dsir_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "length_quantiles": _length_quantiles_sql(),
         "mix_rebalance": """
 WITH n AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
 w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('fr', 0.15), ('es', 0.15), ('zh', 0.15)),

@@ -920,3 +920,63 @@ def pmi_bigrams(sf_dir: str, *, min_count: int = 5, k: int = 50):
         ["pmi_r", "w1", "w2"], ascending=[False, True, True]
     ).head(int(k))
     return df.reset_index(drop=True)
+
+
+# Fixed driver quantile set.
+DRIVER_QUANTILES: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(sf_dir: str, qs: tuple = DRIVER_QUANTILES):
+    """(q, n_tokens): EXACT discrete quantiles of the per-doc token
+    count distribution (the length-cutoff signal for training-data
+    filtering) — quantile_disc semantics: the element at sorted index
+    ceil(q*N)-1, clamped to 0.
+
+    Scale shape: token counts are bounded small integers, so the global
+    sort collapses to a HISTOGRAM: per-batch np.unique partials, one
+    hash-partitioned count reduction keyed by length value, then a
+    driver gather bounded by the number of DISTINCT lengths (≤ max doc
+    length, thousands — never corpus rows) and one cumsum. Exact, no
+    corpus-wide sort, no sampling."""
+    import math
+
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import mix64
+
+    hist_schema = pa.schema([("len", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "len": pa.array(u, type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def sum_len(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("len", sort=False)["c"].sum().reset_index()
+        return agg[["len", "c"]]
+
+    rows = grouped_partitions(
+        token_count(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        lambda b: mix64(
+            b["len"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        & np.uint64(31),
+        sum_len,
+        hist_schema,
+    ).take_all()  # bounded: one row per distinct length
+    h = pd.DataFrame(rows, columns=["len", "c"]).sort_values("len")
+    lens = h["len"].to_numpy()
+    cum = np.cumsum(h["c"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(math.ceil(q * n) - 1, 0)
+        out_q.append(float(q))
+        out_v.append(int(lens[np.searchsorted(cum, idx + 1)]))
+    return pd.DataFrame({"q": out_q, "n_tokens": np.asarray(out_v, dtype=np.int64)})

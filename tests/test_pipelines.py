@@ -1535,3 +1535,23 @@ class TestMixRebalance:
         # deterministic
         df2 = _pdf(mix_rebalance(str(d), weights={"en": 0.5, "de": 0.5}))
         assert sorted(df.doc_id) == sorted(df2.doc_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLengthQuantiles:
+    def test_matches_full_sort(self):
+        """Histogram-path quantiles == brute-force sorted-array indexing
+        (ceil(q*N)-1) on the gathered token counts."""
+        import math
+
+        from invertedindex_ray.pipelines.textstats import (
+            DRIVER_QUANTILES,
+            length_quantiles,
+            token_count,
+        )
+
+        n = np.sort(_pdf(token_count(SF)).n_tokens.to_numpy())
+        df = length_quantiles(SF)
+        for q, v in zip(df.q, df.n_tokens):
+            assert v == n[max(math.ceil(q * len(n)) - 1, 0)]
+        assert list(df.q) == list(DRIVER_QUANTILES)
