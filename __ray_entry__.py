@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": lambda sf: analytics.collection_stats(sf),
         "postings": lambda sf: analytics.postings(sf),
         "lexicon": lambda sf: analytics.lexicon(sf),
+        "prefix_terms": lambda sf: analytics.prefix_terms(sf),
         "term_upper_bounds": lambda sf: analytics.term_upper_bounds(sf),
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
@@ -1319,6 +1320,17 @@ FROM docstats"""
   SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
 )
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term"""
+        ),
+        "prefix_terms": _base(
+            """, tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term
+),
+pre(prefix) AS (VALUES ('s'), ('t'), ('zzq'))
+SELECT pre.prefix, lex.term, lex.df, lex.cf
+FROM pre JOIN lex ON lex.term LIKE pre.prefix || '%'"""
         ),
         "term_upper_bounds": _base(
             """, cstats AS (

@@ -326,3 +326,54 @@ def tfidf_scores(sf_dir: str, cfg: IndexConfig = NOSTEM):
         )
 
     return _tokenized(sf_dir, cfg).map_batches(score, batch_format="pyarrow")
+
+
+# Fixed driver prefix set; the last prefix must match no terms.
+DRIVER_PREFIXES: list[str] = ["s", "t", "zzq"]
+
+
+def prefix_terms(sf_dir: str, prefixes: list[str] | None = None,
+                 cfg: IndexConfig = NOSTEM):
+    """(prefix, term, df, cf): wildcard/prefix term lookup — every
+    vocabulary term starting with each prefix, with its document and
+    collection frequency. The term-sorted lexicon makes this a range
+    scan in the reference's design (DiskDataStructuresSearch binary
+    search gives the lower bound); here it is one vectorized
+    ``pc.starts_with`` filter per prefix over the (already reduced,
+    one-row-per-term) lexicon dataset — no extra shuffle."""
+    import pyarrow.compute as pc
+
+    prefixes = DRIVER_PREFIXES if prefixes is None else prefixes
+    out_schema = pa.schema(
+        [
+            ("prefix", pa.string()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+        ]
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        outs = []
+        term = batch["term"]
+        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
+        for p in prefixes:
+            hit = batch.filter(pc.starts_with(term, pattern=p))
+            if hit.num_rows:
+                outs.append(
+                    pa.table(
+                        {
+                            "prefix": pa.array([p] * hit.num_rows, type=pa.string()),
+                            "term": hit["term"].cast(pa.string()),
+                            "df": hit["df"].cast(pa.int64()),
+                            "cf": hit["cf"].cast(pa.int64()),
+                        }
+                    )
+                )
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return lexicon(sf_dir, cfg).map_batches(match, batch_format="pyarrow")

@@ -1555,3 +1555,20 @@ class TestLengthQuantiles:
         for q, v in zip(df.q, df.n_tokens):
             assert v == n[max(math.ceil(q * len(n)) - 1, 0)]
         assert list(df.q) == list(DRIVER_QUANTILES)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixTerms:
+    def test_prefix_matches_lexicon(self):
+        """prefix_terms rows == the lexicon filtered by startswith; the
+        absent prefix contributes nothing."""
+        from invertedindex_ray.pipelines.analytics import lexicon, prefix_terms
+
+        lex = _pdf(lexicon(SF))
+        df = _pdf(prefix_terms(SF, prefixes=["s", "zzq"]))
+        want = lex[lex.term.str.startswith("s")]
+        assert set(df[df.prefix == "s"].term) == set(want.term)
+        got = df[df.prefix == "s"].set_index("term")
+        for t, r in want.set_index("term").iterrows():
+            assert got.loc[t, "df"] == r["df"] and got.loc[t, "cf"] == r["cf"]
+        assert (df.prefix != "zzq").all()
