@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
+        "bigram_xent": lambda sf: textstats.bigram_xent(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
         "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
@@ -1474,6 +1475,25 @@ SELECT d.doc_id,
        sum(d.tf)::BIGINT AS n_tokens,
        round(sum(d.tf::DOUBLE * -ln(c.n::DOUBLE / t.n_total)) / sum(d.tf)::DOUBLE, 6) AS surprisal_r
 FROM dw d JOIN cnt c USING (w) CROSS JOIN tot t
+GROUP BY d.doc_id""",
+        # mean per-bigram cross-entropy -ln p(w2|w1) under the corpus's
+        # own MLE bigram LM (CCNet-perplexity shape). The inner
+        # (doc_id, w1, w2) grouping mirrors the Ray pipeline's
+        # tf * -ln(n/nl) weighting so float summation shapes match.
+        "bigram_xent": """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+db AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s
+  WHERE len(a) >= 2
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM db GROUP BY w1, w2),
+lc AS (SELECT w1, sum(n)::BIGINT AS nl FROM bc GROUP BY w1),
+dw AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM db GROUP BY doc_id, w1, w2)
+SELECT d.doc_id,
+       sum(d.tf)::BIGINT AS n_bigrams,
+       round(sum(d.tf::DOUBLE * -ln(b.n::DOUBLE / l.nl)) / sum(d.tf)::DOUBLE, 6) AS xent_r
+FROM dw d JOIN bc b USING (w1, w2) JOIN lc l USING (w1)
 GROUP BY d.doc_id""",
         # DSIR hashed-n-gram importance weights: target = lang='en',
         # raw = whole corpus, add-one smoothing over 4096 md5 buckets.

@@ -494,6 +494,221 @@ def unigram_surprisal(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def bigram_xent(sf_dir: str):
+    """(doc_id, n_bigrams, xent_r): mean per-bigram cross-entropy
+    -ln p(w2|w1) under the corpus's own bigram LM with MLE conditionals
+    p(w2|w1) = c(w1 w2) / c_left(w1) — the next step up from
+    :func:`unigram_surprisal` toward the KenLM-perplexity filter CCNet
+    applies to Common-Crawl text (low = templated/boilerplate n-grams,
+    high = incoherent token soup). Trained on the scored corpus itself,
+    so every document bigram has a count and no smoothing is needed for
+    exactness.
+
+    Distributed shape (mirrors unigram_surprisal — no driver-side
+    vocabulary, no broadcast of the model):
+    1. per-batch partial bigram counts (b = "w1 w2", tf) — one
+       bigram-keyed hash-partition reduction → bc(b, w1, n);
+    2. left-context counts from bc via a second (much smaller)
+       w1-keyed reduction → lc(w1, nl);
+    3. per-doc distinct (doc_id, b, w1, tf) rows hash-JOIN bc on b and
+       lc on w1 (fan-out derived from data size, never cluster size),
+       then reduce Σ tf·(-ln(n/nl)) / Σ tf per doc.
+    At 100 TB the bigram table is far too large for one machine — that
+    is why the model is joined against the doc rows, never collected.
+    Documents with fewer than two tokens have no bigrams and are
+    dropped (same contract as the SQL mirror's GROUP BY).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
+        _materialized_nonempty,
+        _normalize_schema,
+        _pair_join_partitions,
+    )
+
+    def _doc_bigrams(batch: pa.Table):
+        """(doc_row_idx, b="w1 w2", w1) arrays for every in-doc bigram."""
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(text, " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        words = np.asarray(wl.values.to_pylist(), dtype=object)
+        doc_idx = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        if len(words) < 2:
+            e = np.array([], dtype=object)
+            return np.array([], dtype=np.int64), e, e
+        # adjacent positions within the same document only
+        same = doc_idx[1:] == doc_idx[:-1]
+        w1 = words[:-1][same]
+        w2 = words[1:][same]
+        # tokens are space-split, so "w1 w2" is an unambiguous pair key
+        b = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+        return doc_idx[:-1][same], b.astype(object), w1
+
+    bc_schema = pa.schema(
+        [("b", pa.string()), ("w1", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return bc_schema.empty_table()
+        _, b, w1 = _doc_bigrams(batch)
+        if len(b) == 0:
+            return bc_schema.empty_table()
+        ub, first, tf = np.unique(b, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "b": pa.array(ub, type=pa.string()),
+                "w1": pa.array(w1[first], type=pa.string()),
+                "n": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def sum_per_b(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        codes, ub = pd.factorize(g["b"].to_numpy(), sort=False)
+        n = np.bincount(codes, weights=g["n"].to_numpy()).astype(np.int64)
+        # w1 is functionally dependent on b: keep the first occurrence
+        w1 = g["w1"].to_numpy()[np.unique(codes, return_index=True)[1]]
+        return pd.DataFrame({"b": ub, "w1": w1, "n": n})
+
+    bc = _grouped_partitions(
+        _read_docs(sf_dir).map_batches(partial_counts, batch_format="pyarrow"),
+        lambda t: hash_strings(t["b"].to_pylist()) & np.uint64(31),
+        sum_per_b,
+        bc_schema,
+    )
+    bc, _ = _materialized_nonempty(bc, bc_schema)
+
+    lc_schema = pa.schema([("w1", pa.string()), ("nl", pa.int64())])
+
+    def sum_per_w1(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        codes, uw = pd.factorize(g["w1"].to_numpy(), sort=False)
+        nl = np.bincount(codes, weights=g["n"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"w1": uw, "nl": nl})
+
+    lc = _grouped_partitions(
+        bc,
+        lambda t: hash_strings(t["w1"].to_pylist()) & np.uint64(31),
+        sum_per_w1,
+        lc_schema,
+    )
+    lc, _ = _materialized_nonempty(lc, lc_schema)
+
+    rows_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("b", pa.string()),
+            ("w1", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return rows_schema.empty_table()
+        row_idx, b, w1 = _doc_bigrams(batch)
+        if len(b) == 0:
+            return rows_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, row_idx))
+        dw, bb = row_idx[order], b[order]
+        new = np.empty(len(bb), dtype=bool)
+        new[0] = True
+        new[1:] = (dw[1:] != dw[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(bb)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[dw[starts]], type=pa.int64()),
+                "b": pa.array(bb[starts], type=pa.string()),
+                "w1": pa.array(w1[order][starts], type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    rows = _normalize_schema(
+        _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow"),
+        rows_schema,
+    )
+    rows, _ = _materialized_nonempty(rows, rows_schema)
+    nparts = _pair_join_partitions(n_docs)
+    joined = rows.join(
+        bc.drop_columns(["w1"]),  # avoid a duplicate w1 after the join
+        join_type="inner",  # every doc bigram has a count by construction
+        num_partitions=nparts,
+        on=("b",),
+    )
+    joined, _ = _materialized_nonempty(
+        joined, rows_schema.remove(1).append(pa.field("n", pa.int64()))
+    )
+    joined = joined.join(lc, join_type="inner", num_partitions=nparts, on=("w1",))
+
+    agg_schema = pa.schema(
+        [("doc_id", pa.int64()), ("s_sum", pa.float64()), ("n_bigrams", pa.int64())]
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("s", pa.float64()), ("tf", pa.int64())]
+            ).empty_table()
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nl = batch["nl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "s": pa.array(tf * -np.log(n / nl), type=pa.float64()),
+                "tf": batch["tf"].cast(pa.int64()),
+            }
+        )
+
+    def sum_per_doc(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        d = g["doc_id"].to_numpy()
+        order = np.argsort(d, kind="stable")  # deterministic float order
+        d = d[order]
+        codes, uids = pd.factorize(d, sort=False)
+        s = np.bincount(codes, weights=g["s"].to_numpy()[order])
+        nb = np.bincount(codes, weights=g["tf"].to_numpy()[order]).astype(np.int64)
+        return pd.DataFrame({"doc_id": uids, "s_sum": s, "n_bigrams": nb})
+
+    agg = _grouped_partitions(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_per_doc,
+        agg_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bigrams": batch["n_bigrams"].cast(pa.int64()),
+                "xent_r": pa.array(
+                    round_half_up(s / np.maximum(nb, 1.0), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------- composite quality filter
 
 # rule bits in fail_mask (documented order; SQL mirror computes the same)

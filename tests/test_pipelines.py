@@ -571,6 +571,40 @@ class TestCuration:
         exp = np.mean([-np.log(allw[w] / N) for w in ws])
         assert abs(df.loc[d0["doc_id"], "surprisal_r"] - exp) < 1e-5
 
+    def test_bigram_xent_exact_oracle(self):
+        """Per-doc mean -ln p(w2|w1) under the corpus MLE bigram LM must
+        match a direct Counter-based computation on one doc, and every
+        doc with >= 2 tokens must appear with its exact bigram count."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import bigram_xent
+
+        df = _pdf(bigram_xent(SF)).set_index("doc_id")
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        from collections import Counter
+
+        bc: Counter = Counter()
+        lc: Counter = Counter()
+        for t in texts["text"]:
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] += 1
+                lc[a] += 1
+        expected_docs = {
+            int(r["doc_id"])
+            for _, r in texts.iterrows()
+            if len(r["text"].split(" ")) >= 2
+        }
+        assert set(df.index) == expected_docs
+        d0 = texts.iloc[0]
+        ws = d0["text"].split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        exp = np.mean([-np.log(bc[p] / lc[p[0]]) for p in pairs])
+        row = df.loc[int(d0["doc_id"])]
+        assert int(row["n_bigrams"]) == len(pairs)
+        assert abs(row["xent_r"] - exp) < 1e-5
+
     def test_quality_filter_mask_consistent_with_signals(self):
         """The fused one-pass verdict must agree rule-by-rule with the
         standalone quality_score / repetition_stats pipelines at the
