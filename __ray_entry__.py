@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": lambda sf: analytics.postings(sf),
         "lexicon": lambda sf: analytics.lexicon(sf),
         "prefix_terms": lambda sf: analytics.prefix_terms(sf),
+        "fuzzy_terms": lambda sf: analytics.fuzzy_terms(sf),
         "term_upper_bounds": lambda sf: analytics.term_upper_bounds(sf),
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
@@ -1332,6 +1333,20 @@ lex AS (
 pre(prefix) AS (VALUES ('s'), ('t'), ('zzq'))
 SELECT pre.prefix, lex.term, lex.df, lex.cf
 FROM pre JOIN lex ON lex.term LIKE pre.prefix || '%'"""
+        ),
+        # typo-tolerant term resolution over the same lexicon: every
+        # vocabulary term within Levenshtein distance <= 1 of each query
+        # word (mirrors analytics.fuzzy_terms's three by-length byte checks)
+        "fuzzy_terms": _base(
+            """, tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (
+  SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term
+),
+fz(q) AS (VALUES ('tble'), ('scann'), ('hash'), ('zzzq'))
+SELECT fz.q, lex.term, levenshtein(fz.q, lex.term)::BIGINT AS dist, lex.df
+FROM fz JOIN lex ON levenshtein(fz.q, lex.term) <= 1"""
         ),
         "term_upper_bounds": _base(
             """, cstats AS (

@@ -377,3 +377,125 @@ def prefix_terms(sf_dir: str, prefixes: list[str] | None = None,
         return pa.concat_tables(outs)
 
     return lexicon(sf_dir, cfg).map_batches(match, batch_format="pyarrow")
+
+
+# Fixed driver fuzzy set; the last word must match no terms.
+DRIVER_FUZZY: list[str] = ["tble", "scann", "hash", "zzzq"]
+
+
+def _padded_byte_matrix(term_arr):
+    """Zero-copy-ish (one gather) padded uint8 matrix + lengths for an
+    Arrow string array. Terms are post-tokenizer ([a-z0-9]+), so bytes
+    == characters and byte comparisons match DuckDB's levenshtein."""
+    arr = (
+        term_arr.combine_chunks()
+        if isinstance(term_arr, pa.ChunkedArray)
+        else term_arr
+    )
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    lmax = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(arr), lmax), dtype=np.uint8)
+    if lmax:
+        col = np.arange(lmax, dtype=np.int64)[None, :]
+        valid = col < lens[:, None]
+        mat[valid] = data[(starts[:, None] + col)[valid]]
+    return mat, lens
+
+
+def fuzzy_terms(sf_dir: str, words: list[str] | None = None,
+                cfg: IndexConfig = NOSTEM):
+    """(q, term, dist, df): typo-tolerant term resolution — every
+    vocabulary term within Levenshtein distance <= 1 of each query word,
+    with the edit distance and document frequency (the df lets a query
+    rewriter pick the most attested correction). The reference resolves
+    terms by exact binary search (DiskDataStructuresSearch.java:36-67);
+    this is the standard fuzzy extension an interactive search frontend
+    layers on the same lexicon.
+
+    Distance <= 1 decomposes by length into three vectorized byte-matrix
+    checks per query word (no per-term Python, no DP table):
+    - same length: <= 1 mismatching position;
+    - term one longer: term == q with one char inserted — leading-match
+      prefix + shifted-suffix equality;
+    - term one shorter: q == term with one char inserted (symmetric).
+    Each batch of the (already reduced, one-row-per-term) lexicon is
+    screened independently — embarrassingly parallel, no extra shuffle,
+    and the query set rides in the task closure (it is tiny)."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    words = DRIVER_FUZZY if words is None else words
+    out_schema = pa.schema(
+        [
+            ("q", pa.string()),
+            ("term", pa.string()),
+            ("dist", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+    qbytes = [(w, np.frombuffer(w.encode("utf-8"), dtype=np.uint8)) for w in words]
+
+    def _suffix_ok(eq: np.ndarray, shifted: np.ndarray) -> np.ndarray:
+        """rows where shifted[i, pre_i:] is all-True, pre_i = leading-True
+        run of eq[i] (the insertion point); pre_i == width means the whole
+        prefix matches and the edit is at the end (vacuously true)."""
+        k, m = eq.shape
+        if m == 0:
+            return np.ones(k, dtype=bool)
+        pre = np.where(eq.all(axis=1), m, np.argmin(eq, axis=1))
+        suf = np.logical_and.accumulate(shifted[:, ::-1], axis=1)[:, ::-1]
+        sufx = np.concatenate([suf, np.ones((k, 1), dtype=bool)], axis=1)
+        return sufx[np.arange(k), pre]
+
+    def match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        mat, lens = _padded_byte_matrix(batch["term"])
+        outs = []
+
+        def emit(word, sel_idx, dist):
+            if len(sel_idx) == 0:
+                return
+            hit = batch.take(pa.array(sel_idx, type=pa.int64()))
+            outs.append(
+                pa.table(
+                    {
+                        "q": pa.array([word] * hit.num_rows, type=pa.string()),
+                        "term": hit["term"].cast(pa.string()),
+                        "dist": pa.array(dist, type=pa.int64()),
+                        "df": hit["df"].cast(pa.int64()),
+                    }
+                )
+            )
+
+        for word, qa in qbytes:
+            m = len(qa)
+            # same length: substitution (or exact)
+            idx = np.flatnonzero(lens == m)
+            if len(idx) and m:
+                mism = (mat[idx, :m] != qa[None, :]).sum(axis=1)
+                keep = mism <= 1
+                emit(word, idx[keep], mism[keep].astype(np.int64))
+            # term one longer: one char deleted from the term yields q
+            idx = np.flatnonzero(lens == m + 1)
+            if len(idx):
+                rows = mat[idx, : m + 1]
+                ok = _suffix_ok(rows[:, :m] == qa[None, :],
+                                rows[:, 1 : m + 1] == qa[None, :])
+                emit(word, idx[ok], np.ones(int(ok.sum()), dtype=np.int64))
+            # term one shorter: one char inserted into the term yields q
+            idx = np.flatnonzero(lens == m - 1)
+            if len(idx) and m >= 1:
+                rows = mat[idx, : m - 1]
+                ok = _suffix_ok(rows == qa[None, : m - 1],
+                                rows == qa[None, 1:m])
+                emit(word, idx[ok], np.ones(int(ok.sum()), dtype=np.int64))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return lexicon(sf_dir, cfg).map_batches(match, batch_format="pyarrow")

@@ -1606,3 +1606,32 @@ class TestPrefixTerms:
         for t, r in want.set_index("term").iterrows():
             assert got.loc[t, "df"] == r["df"] and got.loc[t, "cf"] == r["cf"]
         assert (df.prefix != "zzq").all()
+
+    def test_fuzzy_matches_brute_force_levenshtein(self):
+        """fuzzy_terms rows == the lexicon screened by a brute-force DP
+        Levenshtein at distance <= 1 (covers substitution, insertion,
+        deletion and exact hits; the absent word contributes nothing)."""
+        from invertedindex_ray.pipelines.analytics import fuzzy_terms, lexicon
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        words = ["tble", "scann", "hash", "zzzq", "vralue"]
+        lex = _pdf(lexicon(SF))
+        df = _pdf(fuzzy_terms(SF, words=words))
+        for w in words:
+            want = {t: lev(w, t) for t in lex.term if lev(w, t) <= 1}
+            got = df[df.q == w].set_index("term")
+            assert set(got.index) == set(want), (w, set(got.index), want)
+            for t, d in want.items():
+                assert int(got.loc[t, "dist"]) == d
+                assert int(got.loc[t, "df"]) == int(
+                    lex.set_index("term").loc[t, "df"])
+        assert (df.q != "zzzq").all()
