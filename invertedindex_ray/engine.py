@@ -810,10 +810,18 @@ class QueryEngine:
         <= threshold, so its true score could never be admitted.
         While the queue is not yet full the threshold is -1 (no skips:
         zero-score docs are admissible, matching the exhaustive set)."""
+        from bisect import insort
+
         queue = TopKQueue(k)
-        live = list(cursors)  # already advanced to their first posting
+        # sorted-by-doc-id invariant maintained incrementally: only moved
+        # cursors are re-inserted (classic WAND; a full re-sort per loop
+        # step is O(n log n) per posting step — ADVICE r3). Tie order
+        # among equal doc ids is semantically irrelevant: scoring gathers
+        # the whole equal-doc prefix and sums in tub order, and the
+        # leapfrog victim is picked by max tub over strictly-behind
+        # cursors.
+        live = sorted(cursors, key=lambda c: c.doc_id)
         while live:
-            live.sort(key=lambda c: c.doc_id)
             threshold = queue.last_score() if len(queue) == k else -1.0
             acc = 0.0
             pivot = -1
@@ -832,17 +840,17 @@ class QueryEngine:
                 # traversal (terms sorted by tub), so exact-score ties
                 # collapse identically across the two pruning paths.
                 doc_len = self.docs.doc_len_at(self.docs.index_of(pivot_doc))
-                at_doc = []
-                for c in live:
-                    if c.doc_id != pivot_doc:
-                        break
-                    at_doc.append(c)
+                n_at = 0
+                while n_at < len(live) and live[n_at].doc_id == pivot_doc:
+                    n_at += 1
+                at_doc = live[:n_at]
+                del live[:n_at]
                 score = 0.0
                 for c in sorted(at_doc, key=lambda c: c.tub):
                     score += self._score(c.tf, doc_len, lex_rows[c.term][0])
-                exhausted = [c for c in at_doc if not c.next()]
-                for c in exhausted:
-                    live.remove(c)
+                for c in at_doc:
+                    if c.next():
+                        insort(live, c, key=lambda x: x.doc_id)
                 if len(queue) < k or score > queue.last_score():
                     queue.add(pivot_doc, score)
             else:
@@ -854,9 +862,10 @@ class QueryEngine:
                 # on those, so they must not be chosen.
                 behind = [i for i in range(pivot) if live[i].doc_id < pivot_doc]
                 j = max(behind, key=lambda i: live[i].tub)
-                c = live[j]
-                if not c.next_geq(pivot_doc):
-                    live.remove(c)  # parked on its last posting: done
+                c = live.pop(j)
+                if c.next_geq(pivot_doc):
+                    insort(live, c, key=lambda x: x.doc_id)
+                # else: parked on its last posting — done
         return queue
 
     def _conjunctive(self, cursors, doc_upper, lex_rows, k) -> TopKQueue:

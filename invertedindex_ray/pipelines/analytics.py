@@ -392,6 +392,10 @@ def _padded_byte_matrix(term_arr):
         if isinstance(term_arr, pa.ChunkedArray)
         else term_arr
     )
+    if arr.type != pa.string():
+        # large_string carries int64 offsets — reading them as int32
+        # would silently garble every term; normalize first
+        arr = arr.cast(pa.string())
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=np.int32)[
         arr.offset : arr.offset + len(arr) + 1

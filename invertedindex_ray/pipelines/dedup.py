@@ -1322,7 +1322,11 @@ def dedup_filter(sf_dir: str, **lsh_kw):
     if n_rm == 0:
         return docs
 
-    n_docs = docs.count()
+    # row count from the parquet footer (metadata only) — a docs.count()
+    # here would re-read the whole documents table just to size the join
+    import pyarrow.parquet as pq_mod
+
+    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     nparts = int(max(2, min(64, 1 + n_docs // 100_000)))
     joined = docs.join(
         rm,

@@ -127,6 +127,14 @@ def rm3_search(
         nq = len(terms)
         if nq == 0:
             continue
+        # FLOAT-ORDER ASSUMPTION (ADVICE r3): contributions accumulate in
+        # feedback-RANK order (deterministic), while the SQL oracle's
+        # SUM() is order-unspecified. Both sides round to 9 dp before
+        # comparison, so they diverge only if an exact sum lands on a
+        # rounding boundary AND DuckDB associates differently — never
+        # observed (tests are bit-exact). If the oracle ever flakes here,
+        # canonicalize both sides: sum per term in ascending doc_id order
+        # and add a deterministic ORDER BY inside the SQL aggregate.
         rm: dict[str, float] = {}
         for _, d, s in sorted(fb_by_q.get(qid, [])):
             for t, tf, dl in doc_terms.get(d, ()):

@@ -34,10 +34,28 @@ def _read_embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+# Hard bounds for the driver-materializing paths. Nothing in the scale
+# paths (lsh / ivf) touches these; they exist so an accidental
+# brute-force call on a big table fails LOUDLY instead of OOMing the
+# driver silently (VERDICT r3 #3, same convention as
+# relational.guard_group_rows / dedup broadcast_max_pairs).
+SMALLEST_MAX_N = 65_536
+ALLPAIRS_MAX_ROWS = 1_000_000
+
+
 def _smallest_by_vec_id(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
     """The n vectors with the smallest vec_id, via per-batch partial min-k
     + a tiny driver merge of n rows per block — no full-table driver read,
-    no sort (VERDICT r1 #7)."""
+    no sort (VERDICT r1 #7). ``n`` is a DRIVER-side allocation (n rows
+    per block reach the driver merge), so it is hard-bounded."""
+    if n > SMALLEST_MAX_N:
+        raise ValueError(
+            f"_smallest_by_vec_id: n={n} exceeds the driver-merge bound "
+            f"of {SMALLEST_MAX_N}. The gather materializes n rows per "
+            "block on the driver; a query/centroid set this large must "
+            "be a Dataset-side join, not a broadcast — use ivf_ann_topk "
+            "(distributed assignment) or restructure the caller."
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -154,8 +172,25 @@ def _allpairs_neardup(sf_dir: str, tau: float):
     compare every batch against it — O(N*B) flops, no shuffle. The matrix
     is assembled DISTRIBUTIVELY (map_batches -> bounded take of normalized
     blocks), then ray.put once. Small-input oracle path only; the scale
-    path is :func:`_lsh_neardup`."""
+    path is :func:`_lsh_neardup`. Refuses LOUDLY above
+    ``ALLPAIRS_MAX_ROWS`` (footer metadata check, no data read) — an
+    accidental method="allpairs" on a web-scale table must not OOM the
+    driver silently (VERDICT r3 #3)."""
     import ray
+    import pyarrow.parquet as pq_mod
+
+    n_total = pq_mod.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).metadata.num_rows
+    if n_total > ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"embedding_neardup_pairs(method='allpairs'): table has "
+            f"{n_total} rows, above the exact-verifier bound of "
+            f"{ALLPAIRS_MAX_ROWS}. The all-pairs path broadcasts the "
+            "FULL embedding matrix — use method='lsh' (banded "
+            "hyperplane LSH, only bucket collisions compared) for "
+            "large tables, or ivf_ann_topk for top-k search."
+        )
 
     t = pa.Table.from_pylist(_read_embeddings(sf_dir).take_all())
     all_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1189,6 +1189,15 @@ def length_quantiles(sf_dir: str, qs: tuple = DRIVER_QUANTILES):
     lens = h["len"].to_numpy()
     cum = np.cumsum(h["c"].to_numpy())
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        # empty corpus: no quantiles exist (mirrors SQL quantile over
+        # zero rows returning no usable values), not an IndexError
+        return pd.DataFrame(
+            {
+                "q": pd.Series([], dtype=np.float64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+            }
+        )
     out_q, out_v = [], []
     for q in qs:
         idx = max(math.ceil(q * n) - 1, 0)

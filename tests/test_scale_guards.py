@@ -1,0 +1,138 @@
+"""Round-4 hardening tests: loud bounds on driver-materializing paths
+(VERDICT r3 #3), read-time column pruning (VERDICT r3 #4), and the
+ADVICE r3 robustness fixes (empty-corpus quantiles, large_string lexicon
+buffers)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSimilarityGuards:
+    """The brute-force oracle paths must refuse LOUDLY above their
+    documented bounds instead of silently OOMing the driver."""
+
+    def test_smallest_by_vec_id_refuses_huge_n(self):
+        from invertedindex_ray.pipelines.similarity import (
+            SMALLEST_MAX_N,
+            _smallest_by_vec_id,
+        )
+
+        with pytest.raises(ValueError, match="driver-merge bound"):
+            _smallest_by_vec_id(SF, SMALLEST_MAX_N + 1)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_allpairs_refuses_over_bound_table(self, tmp_path, monkeypatch):
+        """An embeddings table whose FOOTER reports more rows than
+        ALLPAIRS_MAX_ROWS is rejected before any data is read."""
+        import invertedindex_ray.pipelines.similarity as sim
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        # shrink the bound rather than writing >1M rows
+        monkeypatch.setattr(sim, "ALLPAIRS_MAX_ROWS", 2)
+        with pytest.raises(ValueError, match="method='lsh'"):
+            sim._allpairs_neardup(str(d), tau=0.9)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_allpairs_still_works_under_bound(self, tmp_path):
+        from invertedindex_ray.pipelines.similarity import _allpairs_neardup
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        rows = _allpairs_neardup(str(d), tau=0.99).take_all()
+        pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+        assert pairs == {(0, 1)}
+
+
+class TestCliReadPruning:
+    def test_pages_read_columns_drops_crawl_metadata(self, tmp_path):
+        """The ingest read must project to url/text(/html) at the READ —
+        warc_ts / lang / junk columns never leave storage."""
+        from invertedindex_ray.__main__ import pages_read_columns
+
+        p = tmp_path / "pages.parquet"
+        t = pa.table(
+            {
+                "url": pa.array(["u1"], type=pa.string()),
+                "warc_ts": pa.array([0], type=pa.int64()),
+                "html": pa.array([b"<p>x</p>"], type=pa.binary()),
+                "text": pa.array(["x"], type=pa.string()),
+                "lang": pa.array(["en"], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(p))
+        assert pages_read_columns(str(p)) == ["url", "text", "html"]
+
+    def test_pages_read_columns_no_html(self, tmp_path):
+        from invertedindex_ray.__main__ import pages_read_columns
+
+        p = tmp_path / "pages.parquet"
+        t = pa.table(
+            {
+                "url": pa.array(["u1"], type=pa.string()),
+                "text": pa.array(["x"], type=pa.string()),
+                "lang": pa.array(["en"], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(p))
+        assert pages_read_columns(str(p)) == ["url", "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdviceFixes:
+    def test_length_quantiles_empty_corpus(self, tmp_path):
+        """ADVICE r3: an empty corpus returns an empty (q, n_tokens)
+        frame, not IndexError."""
+        from invertedindex_ray.pipelines.textstats import length_quantiles
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        df = length_quantiles(str(d))
+        assert len(df) == 0
+        assert list(df.columns) == ["q", "n_tokens"]
+
+    def test_padded_byte_matrix_large_string(self):
+        """ADVICE r3: large_string (int64 offsets) must not be misread
+        through the int32 buffer view."""
+        from invertedindex_ray.pipelines.analytics import _padded_byte_matrix
+
+        words = ["table", "scan", "z"]
+        m_small, l_small = _padded_byte_matrix(pa.array(words, type=pa.string()))
+        m_large, l_large = _padded_byte_matrix(
+            pa.array(words, type=pa.large_string())
+        )
+        assert np.array_equal(m_small, m_large)
+        assert np.array_equal(l_small, l_large)
