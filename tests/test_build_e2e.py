@@ -809,6 +809,60 @@ class TestScaleHygiene:
         e = QueryEngine(idx, cfgh)
         assert len(e.query("OR data index search", 10)) > 0
 
+    def test_no_vocabulary_sized_driver_broadcast(self, ray_session):
+        """VERDICT r3 #1: no pipeline may collect a table whose row count
+        scales with VOCABULARY size onto the driver (a dict of term->df
+        is billions of entries at 100 TB with stopwords off). Checked two
+        ways: (a) at runtime, every ray.put of a dict/list issued from
+        the driver while the TF-IDF trio runs must be tiny; (b)
+        statically, no pipeline source collects the lexicon with
+        take_all."""
+        import glob
+        import re
+
+        import ray
+
+        from invertedindex_ray.pipelines.analytics import tfidf_scores
+        from invertedindex_ray.pipelines.curation import top_keywords
+        from invertedindex_ray.pipelines.mlt import seed_keywords
+
+        sf = "/root/testdata/sf0.001"
+        big_puts: list[int] = []
+        orig_put = ray.put
+
+        def spy_put(value, **kw):
+            if isinstance(value, (dict, list)) and len(value) > 1000:
+                big_puts.append(len(value))
+            return orig_put(value, **kw)
+
+        ray.put = spy_put
+        try:
+            assert tfidf_scores(sf).count() > 0
+            assert top_keywords(sf).count() > 0
+            assert len(seed_keywords(sf)) > 0
+        finally:
+            ray.put = orig_put
+        assert not big_puts, (
+            f"driver broadcast of vocabulary-sized containers: {big_puts}"
+        )
+
+        # static twin: the lexicon()/df table must be JOINED, never
+        # collected — no pipeline source may take_all a lexicon dataset
+        pat = re.compile(r"lexicon\([^)]*\)[^\n]*\.take_all\(")
+        for path in glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "invertedindex_ray",
+                "pipelines",
+                "*.py",
+            )
+        ):
+            with open(path) as f:
+                src = f.read()
+            assert not pat.search(src), (
+                f"{path} collects the vocabulary-sized lexicon on the driver"
+            )
+
     def test_checkpoint_false_builds_identical_index(self, built, tmp_path, ray_session):
         """checkpoint=False skips the tokenized corpus copy entirely; the
         resulting index must be byte-equivalent in query behavior."""
