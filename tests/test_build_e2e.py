@@ -525,6 +525,53 @@ class TestServing:
             ]
             assert sorted(got.get(qid, [])) == expect, qid
 
+    def test_shared_state_pool_matches_default(self, built, ray_session):
+        """shared_index_state (one plasma copy of doc table + lexicon,
+        zero-copy mapped by every actor) must be invisible in results."""
+        from invertedindex_ray.pipelines.serving import (
+            serve_queries,
+            shared_index_state,
+        )
+
+        _, cfg, idx_dir, _ = built
+        qs = [("q1", "data index"), ("q2", "posting lexicon search"),
+              ("q3", "zzznope"), ("q4", "ranking retrieval")]
+        ref = shared_index_state(idx_dir)
+        base = serve_queries(idx_dir, qs, config=cfg, k=5,
+                             concurrency=2, batch_size=2).take_all()
+        shared = serve_queries(idx_dir, qs, config=cfg, k=5, concurrency=2,
+                               batch_size=2, state_ref=ref).take_all()
+        canon = lambda rows: sorted(
+            (r["qid"], r["rank"], r["url"], round(r["score"], 9)) for r in rows
+        )
+        assert canon(shared) == canon(base)
+
+    def test_shared_lexicon_and_doctable_lookup_parity(self, built, ray_session):
+        """Every resident lexicon row and doc-table row must round-trip
+        through the shared (|S bytes matrix / plasma payload) form; a
+        miss stays a miss (including terms longer than the |S width)."""
+        import os as _os
+
+        from invertedindex_ray.state.disktables import DocTable, Lexicon
+
+        _, cfg, idx_dir, _ = built
+        lex_r = Lexicon(_os.path.join(idx_dir, "lexicon"), "resident")
+        lex_s = Lexicon.from_shared(
+            Lexicon.export_shared(_os.path.join(idx_dir, "lexicon"))
+        )
+        for term, row in lex_r.table.items():
+            assert lex_s.get(term) == row, term
+        for miss in ("zzznope", "a", "z" * 64, ""):
+            assert lex_s.get(miss) == lex_r.table.get(miss)
+
+        docs_r = DocTable(_os.path.join(idx_dir, "doc_table"), "resident")
+        docs_s = DocTable.from_shared(
+            DocTable.export_shared(_os.path.join(idx_dir, "doc_table"))
+        )
+        assert docs_s.num_docs == docs_r.num_docs
+        for doc_id in range(docs_r.num_docs):
+            assert docs_s.lookup(doc_id) == docs_r.lookup(doc_id)
+
 
 class TestTrecIntegration:
     def test_reference_query_batch_to_trec_run(self, built, tmp_path, ray_session):
