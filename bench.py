@@ -237,51 +237,73 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         ann_topk(sf_dir, n_queries=5, k=10)
         queries["ann_topk"] = round(time.time() - t0, 3)
 
-    if "passages" in components:
-        # passage-level exact dedup over the FULL bench corpus (200 K
-        # docs / ~4.5 M passages at sf0.1) — the testdata documents
-        # table is tiny, so derive a documents view of the bench corpus
-        # once (untimed): doc_id = row position, streamed row-group by
-        # row-group (never a driver-side full read)
-        from invertedindex_ray.pipelines.dedup import passage_dedup
-
-        docs_dir = f"/tmp/iidx-bench-docs-{sf}"
+    def ensure_docs_dir() -> str:
+        # documents view of the FULL bench corpus (200 K docs at sf0.1;
+        # the testdata documents table is tiny), derived once (untimed):
+        # doc_id = row position, streamed row-group by row-group (never
+        # a driver-side full read). Written as MANY files under a
+        # documents.parquet/ directory: a single parquet file gives
+        # read_parquet exactly ONE read task, whose serial block
+        # production starves 32 consumers and capped measured scaling at
+        # ~13x (ds.stats(): 1 read task, 164 cpu-s of map work in a
+        # 12.5 s window) — the multi-file layout is also the only shape
+        # that exists at 100 TB.
+        docs_dir = f"/tmp/iidx-bench-docsd-{sf}-{n_docs}"
         marker = os.path.join(docs_dir, "documents.parquet")
         if not os.path.exists(marker):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            os.makedirs(docs_dir, exist_ok=True)
-            writer = None
+            tmp = marker + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
             next_id = 0
-            try:
-                for fname in sorted(os.listdir(corpus)):
-                    if not fname.endswith(".parquet"):
-                        continue
-                    pf = pq.ParquetFile(os.path.join(corpus, fname))
-                    for rg in range(pf.metadata.num_row_groups):
-                        t = pf.read_row_group(rg, columns=["text"])
-                        t = pa.table(
-                            {
-                                "doc_id": pa.array(
-                                    range(next_id, next_id + t.num_rows),
-                                    type=pa.int64(),
-                                ),
-                                "text": t["text"],
-                            }
-                        )
-                        next_id += t.num_rows
-                        if writer is None:
-                            writer = pq.ParquetWriter(marker + ".tmp", t.schema)
-                        writer.write_table(t)
-            finally:
-                if writer is not None:
-                    writer.close()
-            os.rename(marker + ".tmp", marker)
+            part = 0
+            for fname in sorted(os.listdir(corpus)):
+                if not fname.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(corpus, fname))
+                for rg in range(pf.metadata.num_row_groups):
+                    t = pf.read_row_group(rg, columns=["text"])
+                    t = pa.table(
+                        {
+                            "doc_id": pa.array(
+                                range(next_id, next_id + t.num_rows),
+                                type=pa.int64(),
+                            ),
+                            "text": t["text"],
+                        }
+                    )
+                    next_id += t.num_rows
+                    pq.write_table(
+                        t, os.path.join(tmp, f"part-{part:05d}.parquet")
+                    )
+                    part += 1
+            os.rename(tmp, marker)
+        return docs_dir
+
+    if "passages" in components:
+        # passage-level exact dedup over the full bench corpus
+        from invertedindex_ray.pipelines.dedup import passage_dedup
+
+        docs_dir = ensure_docs_dir()
         t0 = time.time()
         n_out = passage_dedup(docs_dir).count()
         queries["dedup_passages"] = round(time.time() - t0, 3)
         detail["dedup_passages_docs"] = int(n_out)
+
+    if "dedup_minhash_big" in components:
+        # the minhash pipeline at a size where the shuffle (not operator
+        # startup) dominates — the scaling-evidence twin of dedup_minhash
+        # (the sf0.1 documents table is 5k rows / 1.6 MB and finishes in
+        # ~2 s, so cpu-count effects drown in fixed overhead there)
+        from invertedindex_ray.pipelines.dedup import minhash_lsh_pairs
+
+        docs_dir = ensure_docs_dir()
+        t0 = time.time()
+        n_pairs = minhash_lsh_pairs(docs_dir).count()
+        queries["dedup_minhash_big"] = round(time.time() - t0, 3)
+        detail["dedup_minhash_big_pairs"] = int(n_pairs)
 
     result = {
         "metric": "e2e_bench_sec",
@@ -297,7 +319,7 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same build at two parallelism levels (N and 4N cpus), alternated
+    """Same job at two parallelism levels (N and 4N cpus), alternated
     over BENCH_ROUNDS rounds of fresh processes.
 
     The sandbox VM's effective memory speed drifts over time (hypervisor
@@ -305,11 +327,17 @@ def run_scaling(sf_dir: str) -> dict:
     (lo, hi, lo, hi, ...) and efficiency is computed per adjacent pair,
     reporting the median pair — this controls for the ambient drift that
     a run-all-of-A-then-all-of-B design conflates with the cpu count.
-    Levels via BENCH_SCALE_CPUS="8,32"; rounds via BENCH_ROUNDS (1)."""
+    Levels via BENCH_SCALE_CPUS="8,32"; rounds via BENCH_ROUNDS (1);
+    component via BENCH_SCALE_COMPONENT (default "build" — the headline;
+    "dedup_minhash" / "dedup_passages" cover the two biggest non-build
+    shuffles, VERDICT r3 #7)."""
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")
     )
     rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
+    component = os.environ.get("BENCH_SCALE_COMPONENT", "build")
+    # component name -> the key its timing lands under in queries{}
+    qkey = {"passages": "dedup_passages"}.get(component, component)
     lo, hi = levels
 
     def one(ncpu: int) -> dict:
@@ -317,7 +345,7 @@ def run_scaling(sf_dir: str) -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
-            BENCH_COMPONENTS="build",
+            BENCH_COMPONENTS=component,
             BENCH_REPEAT="1",
             # scaling uses the standard sf0.1 bench corpus (200k docs).
             # Larger corpora (800k+) push this VM's working set into
@@ -336,29 +364,35 @@ def run_scaling(sf_dir: str) -> dict:
     pairs = []
     for _ in range(rounds):
         a, b = one(lo), one(hi)
-        pairs.append(
-            {
-                "sec_lo": a["queries"]["build"],
-                "sec_hi": b["queries"]["build"],
-                "docs_per_s_lo": a["detail"]["build_docs_per_s"],
-                "docs_per_s_hi": b["detail"]["build_docs_per_s"],
-                "efficiency": round(
-                    (a["queries"]["build"] / b["queries"]["build"]) / (hi / lo), 3
-                ),
-            }
-        )
+        pair = {
+            "sec_lo": a["queries"][qkey],
+            "sec_hi": b["queries"][qkey],
+            "efficiency": round(
+                (a["queries"][qkey] / b["queries"][qkey]) / (hi / lo), 3
+            ),
+        }
+        if component == "build":
+            pair["docs_per_s_lo"] = a["detail"]["build_docs_per_s"]
+            pair["docs_per_s_hi"] = b["detail"]["build_docs_per_s"]
+        pairs.append(pair)
     best = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
-    return {
+    out = {
         "metric": "scaling_efficiency",
+        "component": component,
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "build_sec_lo": best["sec_lo"],
-        "build_sec_hi": best["sec_hi"],
-        "docs_per_s_lo": best["docs_per_s_lo"],
-        "docs_per_s_hi": best["docs_per_s_hi"],
+        "sec_lo": best["sec_lo"],
+        "sec_hi": best["sec_hi"],
         "scaling_efficiency": best["efficiency"],
         "pairs": pairs,
     }
+    if component == "build":
+        # back-compat field names read by earlier rounds' tooling
+        out["build_sec_lo"] = best["sec_lo"]
+        out["build_sec_hi"] = best["sec_hi"]
+        out["docs_per_s_lo"] = best["docs_per_s_lo"]
+        out["docs_per_s_hi"] = best["docs_per_s_hi"]
+    return out
 
 
 if __name__ == "__main__":

