@@ -72,3 +72,23 @@ def test_cli_index_query_trec_roundtrip(cli_env):
     r = _run(["eval", "--run", out, "--qrels", qrels], env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "map: 1.0000" in r.stdout and "mrr: 1.0000" in r.stdout
+
+    # export-dat: the reference's binary formats, round-tripped through
+    # the independent re-parser (VERDICT r3 #8) — df/cf and postings of
+    # every exported term must equal the engine's
+    dat = str(d / "dat")
+    r = _run(["export-dat", idx, dat], env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "lexicon.dat" in r.stdout
+    from invertedindex_ray.engine import QueryEngine
+    from invertedindex_ray.sources.binary_export import read_reference_binary
+
+    parsed = read_reference_binary(dat)
+    e = QueryEngine(idx, None)
+    assert len(parsed["docs"]) == e.stats.num_docs
+    assert set(parsed["lexicon"]) == set(e.lexicon)
+    for term, (df, cf, _tub) in e.lexicon.items():
+        assert parsed["lexicon"][term][:2] == (df, cf), term
+        ids, tfs = e.get_postings(term)
+        got_ids, got_tfs, _skips = parsed["postings"][term]
+        assert list(got_ids) == list(ids) and list(got_tfs) == list(tfs), term
