@@ -170,6 +170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_wand": lambda sf: _daat_results_table(
             sf, cfg=_NOSTEM_CFG, traversal="wand"
         ),
+        # --- Block-Max WAND (Ding & Suel, SIGIR 2011): WAND pivots plus
+        #     per-block score maxima that skip whole posting blocks
+        #     without per-doc work; rank-identical to MaxScore, so the
+        #     same SQL oracle applies ---
+        "topk_bmw": lambda sf: _daat_results_table(
+            sf, cfg=_NOSTEM_CFG, traversal="bmw"
+        ),
         # --- actor-pool batch serving: same engine behind map_batches,
         #     over the nostem index so the serving path is SQL-checked ---
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
@@ -1248,9 +1255,11 @@ def oracle_sql() -> dict[str, str]:
         "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
-        # WAND returns the same top-k as MaxScore (see engine docstring):
-        # the identical oracle re-checks that equivalence end-to-end
+        # WAND/BMW return the same top-k as MaxScore (see engine
+        # docstrings): the identical oracle re-checks that equivalence
+        # end-to-end
         "topk_wand": _topk_daat_nostem_sql(),
+        "topk_bmw": _topk_daat_nostem_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_filter": (

@@ -92,6 +92,57 @@ class PostingCursor:
         return True
 
 
+_BMW_EXHAUSTED = 1 << 62  # block_last sentinel past the list's final doc
+
+
+class BlockMaxCursor(PostingCursor):
+    """PostingCursor + per-block score upper bounds for Block-Max WAND
+    (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max
+    Indexes", SIGIR 2011). Blocks are a fixed ``block`` postings wide;
+    ``block_max[j]`` upper-bounds every per-posting BM25 score in block
+    j. The bounds come from the vectorized score array
+    (``get_scored_postings``) inflated by 1e-12 RELATIVE — the final
+    scoring uses the reference-op-order scalar formula, which can differ
+    from the vectorized one by a few ulps, and a block max must never
+    sit below a true score or BMW could skip a doc the exact traversal
+    admits. Skipping is conservative by that hair; admitted sets stay
+    rank-identical (asserted against MaxScore/WAND in tests)."""
+
+    __slots__ = ("block_last", "block_max")
+
+    def __init__(
+        self,
+        term: str,
+        tub: float,
+        ids: np.ndarray,
+        tfs: np.ndarray,
+        scores: np.ndarray,
+        block: int = 128,
+    ):
+        super().__init__(term, tub, ids, tfs)
+        n = len(ids)
+        nb = (n + block - 1) // block
+        last_idx = np.minimum(np.arange(1, nb + 1, dtype=np.int64) * block, n) - 1
+        self.block_last = ids[last_idx].astype(np.int64)
+        starts = np.arange(nb, dtype=np.int64) * block
+        self.block_max = np.maximum.reduceat(scores, starts) * (1.0 + 1e-12)
+
+    def _block_of(self, d: int) -> int:
+        """Index of the block holding the first posting with doc id >= d
+        (== len(block_last) when d is past the list's final doc)."""
+        return int(np.searchsorted(self.block_last, d, side="left"))
+
+    def block_max_for(self, d: int) -> float:
+        j = self._block_of(d)
+        return float(self.block_max[j]) if j < len(self.block_max) else 0.0
+
+    def block_last_for(self, d: int) -> int:
+        j = self._block_of(d)
+        return (
+            int(self.block_last[j]) if j < len(self.block_last) else _BMW_EXHAUSTED
+        )
+
+
 class LazyPostingCursor:
     """Skip-block cursor: decodes ONE √df-sized block at a time, jumping
     via skip pointers in ``next_geq`` — the reference's lazy traversal
@@ -262,6 +313,7 @@ class QueryEngine:
         term_cache_size: int = 4096,
         postings_cache_size: int = 65536,
         shared_state: dict | None = None,
+        bmw_block: int = 128,
     ):
         """``traversal``:
 
@@ -317,12 +369,20 @@ class QueryEngine:
         if scoring == "tfidf" and traversal != "vectorized":
             raise ValueError("tfidf scoring requires traversal='vectorized'")
         self.scoring = scoring
+        if traversal not in ("vectorized", "daat", "wand", "bmw"):
+            raise ValueError(f"unknown traversal {traversal!r}")
         # "decoded": whole posting lists decoded + cached (fast for hot
         # terms). "lazy": LazyPostingCursor decodes one skip-block at a
         # time in the DAAT path (head lists never fully decode).
         if cursor not in ("decoded", "lazy"):
             raise ValueError(f"unknown cursor mode {cursor!r}")
+        if traversal == "bmw" and cursor != "decoded":
+            # block maxima come from the decoded per-posting score array
+            raise ValueError("traversal='bmw' requires cursor='decoded'")
         self.cursor_mode = cursor
+        # BMW posting-block width; small values help tiny test indexes,
+        # 128 matches the block-max literature at scale
+        self.bmw_block = int(bmw_block)
         # "bucket": whole bucket file decoded + cached on first touch
         # (fast when buckets fit memory). "pruned": per-term filtered
         # parquet reads (row-group pruning over the term-sorted file) with
@@ -621,7 +681,15 @@ class QueryEngine:
                     if qtype == "and":
                         return []
                     continue
-                cursors.append(PostingCursor(tok, row[2], p[0], p[1]))
+                if self.traversal == "bmw":
+                    sp = self.get_scored_postings(tok)
+                    cursors.append(
+                        BlockMaxCursor(
+                            tok, row[2], p[0], p[1], sp[1], block=self.bmw_block
+                        )
+                    )
+                else:
+                    cursors.append(PostingCursor(tok, row[2], p[0], p[1]))
 
         # advance each list to its first posting; drop empty ones
         cursors = [c for c in cursors if c.next()]
@@ -640,6 +708,8 @@ class QueryEngine:
             queue = self._conjunctive(cursors, doc_upper, lex_rows, k)
         elif self.traversal == "wand":
             queue = self._wand_disjunctive(cursors, lex_rows, k)
+        elif self.traversal == "bmw":
+            queue = self._bmw_disjunctive(cursors, lex_rows, k)
         else:
             queue = self._disjunctive(cursors, doc_upper, lex_rows, k)
 
@@ -877,6 +947,96 @@ class QueryEngine:
                 if c.next_geq(pivot_doc):
                     insort(live, c, key=lambda x: x.doc_id)
                 # else: parked on its last posting — done
+        return queue
+
+    def _bmw_disjunctive(self, cursors, lex_rows, k) -> TopKQueue:
+        """Block-Max WAND (Ding & Suel, SIGIR 2011): the WAND pivot is
+        found with TERM upper bounds as usual, then re-checked SHALLOWLY
+        against the sum of the pivot prefix's per-BLOCK maxima. If even
+        the block maxima cannot beat the threshold, every doc up to the
+        nearest block boundary d'-1 is skipped in one ``next_geq(d')``
+        (no per-doc work at all); otherwise the step degrades to classic
+        WAND. Correctness: for any doc in [pivot_doc, d'), each prefix
+        cursor is still inside the same block (d'-1 <= its block_last)
+        and every cursor PAST the pivot currently sits at a doc >= d'
+        (d' is min'd with live[pivot+1].doc_id), so the doc's true score
+        <= the checked block-max sum <= threshold — it could never be
+        admitted (admission needs score > last_score). While the queue
+        is not full the threshold is -1 and nothing skips, matching the
+        exhaustive set. Admitted sets are rank-identical to
+        MaxScore/WAND (same ascending-doc candidate order, same
+        tie-collapse queue, same ascending-tub float summation)."""
+        from bisect import insort
+
+        queue = TopKQueue(k)
+        live = sorted(cursors, key=lambda c: c.doc_id)
+        n_scored = n_block_skips = 0
+        while live:
+            threshold = queue.last_score() if len(queue) == k else -1.0
+            acc = 0.0
+            pivot = -1
+            for i, c in enumerate(live):
+                acc += c.tub
+                if acc > threshold:
+                    pivot = i
+                    break
+            if pivot == -1:
+                break  # no remaining doc can beat the threshold
+            pivot_doc = live[pivot].doc_id
+
+            # shallow block-max check over the pivot prefix
+            bsum = 0.0
+            for c in live[: pivot + 1]:
+                bsum += c.block_max_for(pivot_doc)
+            if bsum <= threshold:
+                # whole block range is hopeless: jump past the nearest
+                # block boundary (GetNewCandidate). Every prefix cursor
+                # sits at doc_id <= pivot_doc, and its current block's
+                # last id is >= pivot_doc (or the sentinel), so
+                # boundary+1 > pivot_doc always.
+                d_next = (
+                    min(c.block_last_for(pivot_doc) for c in live[: pivot + 1]) + 1
+                )
+                if pivot + 1 < len(live):
+                    d_next = min(d_next, live[pivot + 1].doc_id)
+                if d_next > pivot_doc:
+                    # prefix cursors all sit below d_next; move the
+                    # max-tub one past the dead range
+                    j = max(range(pivot + 1), key=lambda i: live[i].tub)
+                    c = live.pop(j)
+                    n_block_skips += 1
+                    if c.next_geq(d_next):
+                        insort(live, c, key=lambda x: x.doc_id)
+                    continue
+                # else: a cursor PAST the pivot also sits on pivot_doc —
+                # the prefix block-max sum does not bound the doc's true
+                # score, so fall through to the classic WAND step
+
+            if live[0].doc_id == pivot_doc:
+                doc_len = self.docs.doc_len_at(self.docs.index_of(pivot_doc))
+                n_at = 0
+                while n_at < len(live) and live[n_at].doc_id == pivot_doc:
+                    n_at += 1
+                at_doc = live[:n_at]
+                del live[:n_at]
+                score = 0.0
+                for c in sorted(at_doc, key=lambda c: c.tub):
+                    score += self._score(c.tf, doc_len, lex_rows[c.term][0])
+                n_scored += 1
+                for c in at_doc:
+                    if c.next():
+                        insort(live, c, key=lambda x: x.doc_id)
+                if len(queue) < k or score > queue.last_score():
+                    queue.add(pivot_doc, score)
+            else:
+                behind = [i for i in range(pivot) if live[i].doc_id < pivot_doc]
+                j = max(behind, key=lambda i: live[i].tub)
+                c = live.pop(j)
+                if c.next_geq(pivot_doc):
+                    insort(live, c, key=lambda x: x.doc_id)
+        # instrumentation for tests/tuning: docs fully scored vs block
+        # ranges skipped wholesale
+        self.last_bmw_stats = {"scored": n_scored, "block_skips": n_block_skips}
         return queue
 
     def _conjunctive(self, cursors, doc_upper, lex_rows, k) -> TopKQueue:

@@ -236,6 +236,34 @@ class TestRetrievalRankIdentity:
             assert abs(len(r_wc) - len(r_d)) <= 2, q
             assert r_wc[:n] == r_d[:n], q
 
+    @pytest.mark.parametrize("k", [1, 5, 100])
+    def test_bmw_matches_wand_and_vectorized(self, built, k):
+        """Block-Max WAND must return EXACTLY the vectorized/WAND result
+        on every query (same ascending-tub float order, same tie
+        collapse); tiny bmw_block forces multi-block lists so the
+        block-skip branch actually runs on the small fixture."""
+        _, cfg, idx_dir, _ = built
+        eb = QueryEngine(idx_dir, cfg, traversal="bmw", bmw_block=4)
+        ew = QueryEngine(idx_dir, cfg, traversal="wand")
+        ev = QueryEngine(idx_dir, cfg, traversal="vectorized")
+        saw_skip = False
+        for q in QUERIES:
+            r_b = eb.query(q, k)
+            assert r_b == ew.query(q, k), q
+            assert r_b == ev.query(q, k), q
+            stats = getattr(eb, "last_bmw_stats", None)
+            if stats and stats["block_skips"] > 0:
+                saw_skip = True
+        if k == 1:
+            # k=1 fills the queue instantly -> tight threshold -> the
+            # shallow block check must prune at least once across the set
+            assert saw_skip, "BMW never took the block-skip branch"
+
+    def test_bmw_requires_decoded_cursor(self, built):
+        _, cfg, idx_dir, _ = built
+        with pytest.raises(ValueError, match="bmw"):
+            QueryEngine(idx_dir, cfg, traversal="bmw", cursor="lazy")
+
     def test_wand_matches_daat_lazy_cursor(self, built):
         """WAND over the skip-block LazyPostingCursor (the at-scale
         pairing: leapfrog next_geq + one-block-at-a-time decode)."""
