@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus curation (training-data hygiene) ---
         "pii_redact": lambda sf: curation.pii_redact(sf),
         "normalize_text": lambda sf: curation.normalize_text(sf),
+        # --- C4 line-level cleaning (Raffel et al. 2020 §2.2) ---
+        "c4_line_filter": lambda sf: curation.c4_line_filter(sf),
         "stratified_sample": lambda sf: curation.stratified_sample(sf),
         "mix_rebalance": lambda sf: curation.mix_rebalance(sf),
         "source_stats": lambda sf: curation.source_stats(sf),
@@ -1731,6 +1733,40 @@ SELECT doc_id,
        strlen(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT
          AS n_norm_chars
 FROM documents
+"""
+    # C4 line filter: the page rules, line rules and the re-joined clean
+    # text all mirrored exactly (same RE2 patterns, chr(10) join order by
+    # original line position)
+    sql["c4_line_filter"] = r"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS i
+  FROM documents
+),
+pl AS (
+  SELECT doc_id, line, i,
+         (regexp_matches(line, '[.!?"]\s*$')
+          AND len(regexp_extract_all(line, '\S+')) >= 3
+          AND NOT contains(lower(line), 'javascript')) AS kl
+  FROM l
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_lines,
+         SUM(CASE WHEN kl THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         COALESCE(string_agg(CASE WHEN kl THEN line END, chr(10) ORDER BY i), '')
+           AS clean
+  FROM pl GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       (NOT (contains(lower(d.text), 'lorem ipsum') OR contains(d.text, '{'))
+        AND a.n_kept >= 1) AS keep,
+       a.n_lines, a.n_kept,
+       CASE WHEN (NOT (contains(lower(d.text), 'lorem ipsum')
+                       OR contains(d.text, '{')) AND a.n_kept >= 1)
+            THEN a.clean ELSE '' END AS text_clean
+FROM documents d JOIN agg a USING (doc_id)
 """
     cases = " ".join(
         f"WHEN source = '{s}' THEN {r}" for s, r in sorted(DEFAULT_RATES.items())

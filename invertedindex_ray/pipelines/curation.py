@@ -92,6 +92,95 @@ def pii_redact(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# ------------------------------------------------------ C4 line filter
+
+#: Line-keep rule (C4, Raffel et al. 2020 §2.2): terminal punctuation.
+_C4_TERMINAL = r'[.!?"]\s*$'
+
+
+def c4_line_filter(sf_dir: str, *, min_words: int = 3, min_kept_lines: int = 1):
+    """(doc_id, keep, n_lines, n_kept, text_clean): the C4 cleaning
+    pass (Raffel et al., "Exploring the Limits of Transfer Learning
+    with a Unified Text-to-Text Transformer", JMLR 2020 §2.2) as a
+    LINE-level vectorized map — the sibling of the DOC-level Gopher
+    rules in :func:`textstats.quality_filter`:
+
+    - page rules: any page containing ``lorem ipsum`` (case-insensitive)
+      or a curly brace ``{`` is dropped whole;
+    - line rules: keep a line iff it ends in terminal punctuation
+      (``[.!?"]``), has >= ``min_words`` whitespace tokens, and does not
+      contain ``javascript`` (case-insensitive);
+    - ``keep`` = page clean AND >= ``min_kept_lines`` surviving lines
+      (C4 uses a 5-sentence floor; the floor is a parameter here);
+      ``text_clean`` = kept lines re-joined with ``\\n`` ('' when
+      ``keep`` is false).
+
+    Shuffle-free: one streaming pass; the per-line regex checks run as
+    pyarrow compute kernels over the FLATTENED line array (one kernel
+    call per batch, not per line); only the final line re-join touches
+    Python strings (string assembly is O(total bytes) either way)."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("keep", pa.bool_()),
+            ("n_lines", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("text_clean", pa.string()),
+        ]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        text = _str_col(batch, "text")
+        low = pc.utf8_lower(text)
+        page_bad = pc.or_(
+            pc.match_substring(low, "lorem ipsum"), pc.match_substring(text, "{")
+        ).to_numpy(zero_copy_only=False)
+        lines_list = pc.split_pattern(text, "\n")
+        flat = lines_list.flatten()
+        offsets = lines_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        term = pc.match_substring_regex(flat, _C4_TERMINAL)
+        wc = pc.count_substring_regex(flat, r"\S+")
+        js = pc.match_substring(pc.utf8_lower(flat), "javascript")
+        kl = pc.and_(
+            pc.and_(term, pc.greater_equal(wc, min_words)), pc.invert(js)
+        ).to_numpy(zero_copy_only=False)
+        n_lines = np.diff(offsets)
+        # per-doc kept-line counts without a Python loop over lines
+        n_kept = np.add.reduceat(
+            np.concatenate((kl.astype(np.int64), [0])), offsets[:-1]
+        )
+        n_kept[n_lines == 0] = 0
+        keep = (~page_bad) & (n_kept >= min_kept_lines)
+        lines = flat.to_pylist()
+        clean = [
+            "\n".join(
+                l
+                for l, k in zip(lines[offsets[i]: offsets[i + 1]],
+                                kl[offsets[i]: offsets[i + 1]])
+                if k
+            )
+            if keep[i]
+            else ""
+            for i in range(n)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "keep": pa.array(keep, type=pa.bool_()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+                "text_clean": pa.array(clean, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- normalize text
 
 

@@ -29,6 +29,53 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_c4_line_filter_rules(self, tmp_path):
+        """Every C4 rule path on crafted docs: terminal punctuation,
+        3-word floor, javascript lines, lorem-ipsum/brace page drops,
+        multi-line re-join order, and the min_kept_lines page floor.
+        (The synthetic corpus is single-line unpunctuated text, so only
+        a crafted table exercises the discriminating paths.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import c4_line_filter
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    # kept lines 1+3; line 2 lacks terminal punct
+                    "Good first line here.\nno punct line\nAnother good line!",
+                    # page drop: lorem ipsum (case-insensitive)
+                    "Totally fine sentence.\nsome Lorem Ipsum filler.",
+                    # page drop: curly brace
+                    "A good line too.\nfunction f() { return 1; }",
+                    # line too short (2 words) + javascript line
+                    'Two words.\nEnable javascript to view this page.',
+                    # quoted terminal punctuation counts
+                    'He said "stop right there."',
+                    "",  # empty doc: 1 line, nothing kept
+                ],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = _pdf(c4_line_filter(str(tmp_path))).set_index("doc_id").sort_index()
+        assert bool(df.loc[1, "keep"]) and df.loc[1, "n_lines"] == 3
+        assert df.loc[1, "n_kept"] == 2
+        assert df.loc[1, "text_clean"] == (
+            "Good first line here.\nAnother good line!"
+        )
+        assert not bool(df.loc[2, "keep"]) and df.loc[2, "text_clean"] == ""
+        assert not bool(df.loc[3, "keep"])
+        assert not bool(df.loc[4, "keep"]) and df.loc[4, "n_kept"] == 0
+        assert bool(df.loc[5, "keep"]) and df.loc[5, "n_kept"] == 1
+        assert not bool(df.loc[6, "keep"]) and df.loc[6, "n_lines"] == 1
+        # page floor: doc 1 has 2 kept lines, doc 5 only 1
+        df3 = _pdf(
+            c4_line_filter(str(tmp_path), min_kept_lines=2)
+        ).set_index("doc_id")
+        assert bool(df3.loc[1, "keep"]) and not bool(df3.loc[5, "keep"])
+
     def test_passage_dedup_semantics(self, tmp_path):
         """Passage-level exact dedup: global first-occurrence keep at
         8-word granularity, including whole-doc dups (empty output),
