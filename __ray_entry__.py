@@ -188,6 +188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": lambda sf: __import__(
             "invertedindex_ray.pipelines.mlt", fromlist=["x"]
         ).more_like_this(sf),
+        # --- hybrid retrieval: RRF fusion of BM25 more-like-this and
+        #     dense cosine neighbors (Cormack et al., SIGIR 2009) ---
+        "dense_neighbors": lambda sf: __import__(
+            "invertedindex_ray.pipelines.hybrid", fromlist=["x"]
+        ).dense_neighbors(sf),
+        "hybrid_rrf": lambda sf: __import__(
+            "invertedindex_ray.pipelines.hybrid", fromlist=["x"]
+        ).hybrid_rrf(sf),
         # --- positional phrase search (zero-shuffle per-doc matcher) ---
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
@@ -803,6 +811,64 @@ FROM ranked WHERE rank <= {k}
     )
 
 
+def _dense_neighbors_sql(seed_mod: int = 101, k: int = 10) -> str:
+    """Mirror of pipelines/hybrid.py::dense_neighbors — exact cosine
+    top-k per seed vector (vec_id % seed_mod == 0), seed excluded before
+    ranking."""
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % {seed_mod} = 0
+),
+scored AS (
+  SELECT s.seed_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(s.qv, e.embedding::DOUBLE[]), 6) AS cos_r
+  FROM seeds s CROSS JOIN embeddings e
+  WHERE e.vec_id <> s.seed_id
+),
+ranked AS (
+  SELECT seed_id, doc_id, cos_r,
+         row_number() OVER (PARTITION BY seed_id ORDER BY cos_r DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT seed_id, doc_id, cos_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hybrid_rrf_sql(
+    seed_mod: int = 101,
+    m: int = 5,
+    k_sparse: int = 10,
+    k_dense: int = 10,
+    k: int = 10,
+    rrf_k0: int = 60,
+) -> str:
+    """Mirror of pipelines/hybrid.py::hybrid_rrf — the sparse
+    (more-like-this) and dense (cosine) oracle queries as subqueries,
+    full-outer-joined; the sparse RRF term is added first (the Ray
+    side's fixed float order)."""
+    return f"""
+WITH sparse AS (SELECT * FROM ({_mlt_sql(seed_mod, m, k_sparse)})),
+dense AS (SELECT * FROM ({_dense_neighbors_sql(seed_mod, k_dense)})),
+fused AS (
+  SELECT COALESCE(s.seed_id, d.seed_id) AS seed_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         round(COALESCE(1.0 / ({rrf_k0} + s.rank), 0)
+               + COALESCE(1.0 / ({rrf_k0} + d.rank), 0), 9) AS rrf_r
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.seed_id = d.seed_id AND s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT seed_id, doc_id, rrf_r,
+         row_number() OVER (PARTITION BY seed_id ORDER BY rrf_r DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT seed_id, doc_id, rrf_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _topk_daat_nostem_sql() -> str:
     """Mirror of the MaxScore DAAT engine's output: the TreeSet
     tie-collapse keeps ONE doc per distinct score — the first in
@@ -1396,6 +1462,8 @@ FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         "rm3_search": _rm3_sql(),
         "dup_ngram_spans": _dup_spans_sql(),
         "more_like_this": _mlt_sql(),
+        "dense_neighbors": _dense_neighbors_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text"

@@ -29,6 +29,37 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_hybrid_rrf_semantics(self):
+        """RRF fusion invariants on the real tables: every (seed, doc)
+        pair in the fused top-k appears in at least one source list; a
+        doc present in BOTH lists scores the sum of its two RRF terms;
+        ranks are dense per seed; the seed never ranks itself."""
+        from invertedindex_ray.pipelines.hybrid import dense_neighbors, hybrid_rrf
+        from invertedindex_ray.pipelines.mlt import more_like_this
+
+        sparse = more_like_this(SF).to_pandas()
+        dense = dense_neighbors(SF).to_pandas()
+        fused = hybrid_rrf(SF).to_pandas()
+        s_rank = {(r.seed_id, r.doc_id): r.rank for r in sparse.itertuples()}
+        d_rank = {(r.seed_id, r.doc_id): r.rank for r in dense.itertuples()}
+        assert len(fused) > 0
+        for r in fused.itertuples():
+            key = (r.seed_id, r.doc_id)
+            assert key in s_rank or key in d_rank, key
+            assert r.seed_id != r.doc_id
+            expect = (1.0 / (60 + s_rank[key]) if key in s_rank else 0.0) + (
+                1.0 / (60 + d_rank[key]) if key in d_rank else 0.0
+            )
+            assert abs(r.rrf_r - expect) < 1e-9, key
+        for seed, g in fused.groupby("seed_id"):
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+        # at least one seed should have a doc boosted by BOTH systems on
+        # overlapping candidates, or all-singles — either way scores
+        # must be non-increasing within a seed
+        for _, g in fused.groupby("seed_id"):
+            v = g["rrf_r"].to_numpy()
+            assert (v[:-1] >= v[1:] - 1e-12).all()
+
     def test_c4_line_filter_rules(self, tmp_path):
         """Every C4 rule path on crafted docs: terminal punctuation,
         3-word floor, javascript lines, lorem-ipsum/brace page drops,
