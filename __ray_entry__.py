@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold=0.5),
         "dedup_filter": lambda sf: dedup.dedup_filter(sf, threshold=0.5),
+        # --- quality-aware representative selection: keep the LONGEST
+        #     member of each near-dup cluster (FineWeb recipe) ---
+        "dedup_keep_best": lambda sf: dedup.dedup_keep_best(sf, threshold=0.5),
         "simhash_fingerprints": lambda sf: dedup.simhash_fingerprints(sf),
         "dedup_simhash": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         "dedup_embedding": lambda sf: similarity.embedding_neardup_pairs(
@@ -1336,6 +1339,27 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id FROM ({_dedup_clusters_sql()}) c "
             "WHERE c.doc_id <> c.cluster_rep)"
         ),
+        "dedup_keep_best": f"""
+WITH clus AS (SELECT * FROM ({_dedup_clusters_sql()})),
+memb AS (
+  SELECT c.doc_id, c.cluster_rep, d.n_chars
+  FROM clus c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT cluster_rep, doc_id AS best_id FROM (
+    SELECT cluster_rep, doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rn
+    FROM memb
+  ) WHERE rn = 1
+),
+rm AS (
+  SELECT m.doc_id FROM memb m JOIN best USING (cluster_rep)
+  WHERE m.doc_id <> best_id
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM rm)
+""",
         "topk_daat_distributed": _topk_daat_nostem_sql(),
         "winnow_fingerprints": _WINNOW_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,

@@ -1371,3 +1371,98 @@ def dedup_filter(sf_dir: str, **lsh_kw):
         )
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+def dedup_keep_best(sf_dir: str, **lsh_kw):
+    """(doc_id, n_chars): the deduplicated corpus keeping the LONGEST
+    member of each near-dup cluster (n_chars desc, doc_id asc) instead
+    of :func:`dedup_filter`'s min-id representative — quality-aware
+    representative selection (the FineWeb recipe keeps the longest /
+    highest-quality member when collapsing a duplicate cluster).
+
+    Scale shape: cluster rows are slim (doc_id, cluster_rep) pairs;
+    n_chars is hash-JOINED on (fan-out from the cluster row count);
+    per-cluster best + removals come from ONE keyed vectorized
+    reduction (all of a cluster's rows land in one partition); the
+    removal set then left-outer hash-joins the doc table exactly like
+    dedup_filter — never broadcast, never driver-collected."""
+    import pandas as pd
+    import ray.data as rd
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    clus_schema = pa.schema([("doc_id", pa.int64()), ("cluster_rep", pa.int64())])
+    removal_schema = pa.schema([("doc_id", pa.int64()), ("_rm", pa.int64())])
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    clus, n_c = _materialized_nonempty(
+        dedup_clusters(sf_dir, **lsh_kw).select_columns(["doc_id", "cluster_rep"]),
+        clus_schema,
+    )
+    if n_c == 0:
+        return docs
+
+    memb = clus.join(
+        docs,
+        join_type="inner",
+        num_partitions=_pair_join_partitions(n_c),
+        on=("doc_id",),
+    )
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g["cluster_rep"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        nch = g["n_chars"].to_numpy()
+        # (rep, n_chars desc, doc_id asc): the first row of each cluster
+        # run is the keeper; everything after it is a removal
+        order = np.lexsort((ids, -nch, rep))
+        rep_o, ids_o = rep[order], ids[order]
+        first = np.ones(len(rep_o), dtype=bool)
+        first[1:] = rep_o[1:] != rep_o[:-1]
+        rm = ids_o[~first]
+        return pd.DataFrame(
+            {"doc_id": rm.astype(np.int64),
+             "_rm": np.ones(len(rm), dtype=np.int64)}
+        )
+
+    rm, n_rm = _materialized_nonempty(
+        _grouped_partitions(
+            memb,
+            lambda b: b["cluster_rep"].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            & np.uint64(31),
+            removals,
+            removal_schema,
+        ),
+        removal_schema,
+    )
+    if n_rm == 0:
+        return docs
+
+    import pyarrow.parquet as pq_mod
+
+    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    joined = docs.join(
+        rm,
+        join_type="left_outer",
+        num_partitions=int(max(2, min(64, 1 + n_docs // 100_000))),
+        on=("doc_id",),
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.is_null(batch["_rm"]))
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"].cast(pa.int64()),
+                "n_chars": kept["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -29,6 +29,28 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_dedup_keep_best_prefers_longest(self, tmp_path):
+        """keep-best keeps the LONGEST cluster member even when the
+        min-id representative (dedup_filter's keeper) is shorter."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.dedup import dedup_filter, dedup_keep_best
+
+        base = " ".join(f"w{i}" for i in range(40))
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " extra tail words here", "unrelated thing"],
+                "n_chars": [len(base), len(base) + 23, 15],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        kept_best = set(_pdf(dedup_keep_best(str(tmp_path)))["doc_id"])
+        kept_min = set(_pdf(dedup_filter(str(tmp_path)))["doc_id"])
+        assert kept_best == {2, 3}  # longest member 2 survives
+        assert kept_min == {1, 3}   # min-id rule keeps 1 instead
+
     def test_hybrid_rrf_semantics(self):
         """RRF fusion invariants on the real tables: every (seed, doc)
         pair in the fused top-k appears in at least one source list; a
