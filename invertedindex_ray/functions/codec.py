@@ -164,3 +164,122 @@ def decode_posting_list(doc_ids_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, n
     ids = dgap_decode(gaps)
     tfs = vb_decode(tfs_vb).astype(np.int64)
     return ids, tfs
+
+
+# --------------------------------------------------------- Elias gamma/delta
+
+def _bit_lengths(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 values >= 1."""
+    v = x.astype(np.uint64).copy()
+    lens = np.zeros(len(v), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = (v >> np.uint64(shift)) > 0
+        lens[big] += shift
+        v[big] >>= np.uint64(shift)
+    return lens + 1
+
+
+def _scatter_binary(bits: np.ndarray, at: np.ndarray, x: np.ndarray,
+                    lens: np.ndarray, drop_msb: bool = False) -> None:
+    """Write each value's binary form (MSB first, optionally without its
+    leading 1 bit) into the flat bit array at per-value offsets — one
+    vectorized masked scatter per bit position (<= 64 passes), no
+    per-value Python loop."""
+    width = lens - 1 if drop_msb else lens
+    for p in range(int(width.max()) if len(width) else 0):
+        m = width > p
+        shift = (width[m] - 1 - p).astype(np.uint64)
+        bits[at[m] + p] = ((x[m] >> shift) & np.uint64(1)).astype(np.uint8)
+
+
+def elias_gamma_encode(values: np.ndarray) -> tuple[bytes, int]:
+    """Elias gamma code (Elias, IEEE-IT 1975) for values >= 1: N-1 zero
+    bits then the N-bit binary form. Returns (packed bytes, total bits)
+    — gamma beats VB below ~5-bit gaps (dense posting lists), the
+    classic alternative codec. Encoding is fully vectorized (bit-length
+    by shifts, one masked scatter per bit position)."""
+    x = np.asarray(values, dtype=np.uint64)
+    if len(x) == 0:
+        return b"", 0
+    if (x < 1).any():
+        raise ValueError("elias gamma encodes values >= 1 only")
+    lens = _bit_lengths(x)
+    starts = np.concatenate(([0], np.cumsum(2 * lens - 1)[:-1]))
+    total = int((2 * lens - 1).sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    # unary prefix is zeros (already zeroed); binary part at offset len-1
+    _scatter_binary(bits, starts + lens - 1, x, lens)
+    return np.packbits(bits).tobytes(), total
+
+
+def elias_gamma_decode(blob: bytes, total_bits: int) -> np.ndarray:
+    """Inverse of :func:`elias_gamma_encode`. The boundary scan is a
+    per-code loop (codes are variable-width and self-delimiting — the
+    same sequential dependency every gamma decoder has); the binary part
+    of each code is assembled with int shifts."""
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))[:total_bits]
+    out = []
+    pos = 0
+    n = len(bits)
+    set_positions = np.flatnonzero(bits)
+    si = 0
+    while pos < n:
+        while si < len(set_positions) and set_positions[si] < pos:
+            si += 1
+        if si >= len(set_positions):
+            break
+        first_one = int(set_positions[si])
+        length = first_one - pos + 1
+        v = 0
+        for b in bits[first_one:first_one + length]:
+            v = (v << 1) | int(b)
+        out.append(v)
+        pos = first_one + length
+    return np.asarray(out, dtype=np.uint64)
+
+
+def elias_delta_encode(values: np.ndarray) -> tuple[bytes, int]:
+    """Elias delta: gamma(bit_length(x)) then x's binary form without its
+    leading 1 — asymptotically shorter than gamma for large values."""
+    x = np.asarray(values, dtype=np.uint64)
+    if len(x) == 0:
+        return b"", 0
+    if (x < 1).any():
+        raise ValueError("elias delta encodes values >= 1 only")
+    lens = _bit_lengths(x)
+    llens = _bit_lengths(lens.astype(np.uint64))
+    widths = (2 * llens - 1) + (lens - 1)
+    starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    total = int(widths.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    # gamma(lens): binary part at start + llens-1
+    _scatter_binary(bits, starts + llens - 1, lens.astype(np.uint64), llens)
+    # x without MSB at start + 2*llens-1
+    _scatter_binary(bits, starts + 2 * llens - 1, x, lens, drop_msb=True)
+    return np.packbits(bits).tobytes(), total
+
+
+def elias_delta_decode(blob: bytes, total_bits: int) -> np.ndarray:
+    """Inverse of :func:`elias_delta_encode`."""
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))[:total_bits]
+    out = []
+    pos = 0
+    n = len(bits)
+    set_positions = np.flatnonzero(bits)
+    si = 0
+    while pos < n:
+        while si < len(set_positions) and set_positions[si] < pos:
+            si += 1
+        if si >= len(set_positions):
+            break
+        first_one = int(set_positions[si])
+        llen = first_one - pos + 1
+        length = 0
+        for b in bits[first_one:first_one + llen]:
+            length = (length << 1) | int(b)
+        v = 1
+        for b in bits[first_one + llen:first_one + llen + length - 1]:
+            v = (v << 1) | int(b)
+        out.append(v)
+        pos = first_one + llen + length - 1
+    return np.asarray(out, dtype=np.uint64)

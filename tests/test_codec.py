@@ -138,3 +138,57 @@ class TestSkips:
         _, _, _, s = self._build(1025)
         assert len(s) > 0
         assert len(s) % codec.SKIP_ENTRY_BYTES == 0
+
+
+class TestEliasCodes:
+    """Golden bit vectors from Elias (1975) plus round-trips. Bit strings
+    read MSB-first within the packed byte stream."""
+
+    @staticmethod
+    def _bitstr(blob: bytes, nbits: int) -> str:
+        bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))[:nbits]
+        return "".join(str(int(b)) for b in bits)
+
+    def test_gamma_golden(self):
+        golden = {1: "1", 2: "010", 3: "011", 4: "00100", 5: "00101",
+                  9: "0001001", 16: "000010000"}
+        for v, bitstr in golden.items():
+            blob, n = codec.elias_gamma_encode(np.array([v]))
+            assert self._bitstr(blob, n) == bitstr, v
+        blob, n = codec.elias_gamma_encode(np.array([1, 2, 3, 4]))
+        assert self._bitstr(blob, n) == "1" + "010" + "011" + "00100"
+
+    def test_delta_golden(self):
+        golden = {1: "1", 2: "0100", 3: "0101", 4: "01100", 5: "01101",
+                  8: "00100000", 9: "00100001"}
+        for v, bitstr in golden.items():
+            blob, n = codec.elias_delta_encode(np.array([v]))
+            assert self._bitstr(blob, n) == bitstr, v
+
+    @given(st.lists(st.integers(min_value=1, max_value=2**40), max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_gamma_roundtrip(self, vals):
+        blob, n = codec.elias_gamma_encode(np.array(vals, dtype=np.uint64))
+        out = codec.elias_gamma_decode(blob, n)
+        assert out.tolist() == vals
+
+    @given(st.lists(st.integers(min_value=1, max_value=2**40), max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_delta_roundtrip(self, vals):
+        blob, n = codec.elias_delta_encode(np.array(vals, dtype=np.uint64))
+        out = codec.elias_delta_decode(blob, n)
+        assert out.tolist() == vals
+
+    def test_rejects_zero_and_empty_ok(self):
+        for enc in (codec.elias_gamma_encode, codec.elias_delta_encode):
+            assert enc(np.array([], dtype=np.uint64)) == (b"", 0)
+            with pytest.raises(ValueError):
+                enc(np.array([0]))
+
+    def test_gamma_beats_vb_on_small_gaps(self):
+        """The reason the codec exists: dense posting lists (gaps of a
+        few bits) compress below VB's 1-byte-per-value floor."""
+        gaps = np.ones(1000, dtype=np.uint64)  # gap=1: gamma is 1 bit
+        blob, n = codec.elias_gamma_encode(gaps)
+        vb, _ = codec.vb_encode(gaps.astype(np.int64))
+        assert len(blob) < len(vb.tobytes())
