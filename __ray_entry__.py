@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
+        # --- per-source unigram-KL domain-shift diagnostic ---
+        "source_kl": lambda sf: textstats.source_kl(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
@@ -1584,6 +1586,20 @@ FROM documents d LEFT JOIN tstats t USING (doc_id)
         # mean per-token surprisal under the corpus's own unigram LM.
         # The inner (doc_id, w) grouping mirrors the Ray pipeline's
         # tf * -ln(n/N) weighting so float summation shapes match.
+        # KL(source || corpus) over the raw space-split unigram
+        # distributions — float shapes mirror the Ray side
+        # (p = c/ts, q = n/t, sum of p*ln(p/q), round 6)
+        "source_kl": """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+sc AS (SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w),
+gw AS (SELECT w, sum(c)::BIGINT AS n FROM sc GROUP BY w),
+st AS (SELECT source, sum(c)::BIGINT AS ts FROM sc GROUP BY source),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM sc)
+SELECT s.source,
+       st.ts::BIGINT AS n_tokens,
+       round(sum((s.c::DOUBLE / st.ts) * ln((s.c::DOUBLE / st.ts) / (g.n::DOUBLE / tot.t))), 6) AS kl_r
+FROM sc s JOIN gw g USING (w) JOIN st USING (source) CROSS JOIN tot
+GROUP BY s.source, st.ts""",
         "unigram_surprisal": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),

@@ -1204,3 +1204,174 @@ def length_quantiles(sf_dir: str, qs: tuple = DRIVER_QUANTILES):
         out_q.append(float(q))
         out_v.append(int(lens[np.searchsorted(cum, idx + 1)]))
     return pd.DataFrame({"q": out_q, "n_tokens": np.asarray(out_v, dtype=np.int64)})
+
+
+# ------------------------------------------------------ source KL divergence
+
+def source_kl(sf_dir: str):
+    """(source, n_tokens, kl_r): KL divergence of each source's unigram
+    distribution from the whole-corpus distribution,
+    ``KL(p_s || p) = sum_w p_s(w) * ln(p_s(w) / p(w))`` — the standard
+    domain-shift / data-mixing diagnostic (which sources are
+    distributionally far from the corpus a model will be trained on).
+    Tokens are the raw space-split words (the unigram_surprisal
+    convention).
+
+    Distributed shape — no driver-side vocabulary (the same rule as
+    unigram_surprisal / bigram_xent):
+    1. per-batch partial (source, w, c) counts;
+    2. ONE reduction hash-partitioned by ``w``: all of a word's rows
+       (every source) colocate, so the partition computes both the
+       per-(source, w) count AND the word's GLOBAL count — no join;
+    3. per-source totals are a <= #sources-row reduction (sources are a
+       small enum by contract) broadcast back as a dict;
+    4. the per-(source, w) KL terms reduce per source.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
+        _materialized_nonempty,
+    )
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("w", pa.string()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(text, " ")
+        words = np.asarray(wl.values.to_pylist(), dtype=object)
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        src_per_tok = np.repeat(srcs, np.diff(offs))
+        if len(words) == 0:
+            return part_schema.empty_table()
+        # \x1f never occurs in text; (source, word) -> one combined key
+        key = np.char.add(
+            np.char.add(src_per_tok.astype(str), "\x1f"), words.astype(str)
+        ).astype(object)
+        uk, first, c = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(src_per_tok[first], type=pa.string()),
+                "w": pa.array(words[first], type=pa.string()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    sc_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("w", pa.string()),
+            ("c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def reduce_per_word(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy()
+        w = g["w"].to_numpy()
+        c = g["c"].to_numpy()
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), w.astype(str))
+        codes_arr, uk = pd.factorize(key, sort=False)
+        csum = np.bincount(codes_arr, weights=c).astype(np.int64)
+        first_idx = np.unique(codes_arr, return_index=True)[1]
+        src_u, w_u = src[first_idx], w[first_idx]
+        # global word counts: every row of word w is in this partition
+        wcodes, _uw = pd.factorize(w_u, sort=False)
+        n_w = np.bincount(wcodes, weights=csum).astype(np.int64)
+        return pd.DataFrame(
+            {"source": src_u, "w": w_u, "c": csum, "n": n_w[wcodes]}
+        )
+
+    sc = _grouped_partitions(
+        _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda t: hash_strings(t["w"].to_pylist()) & np.uint64(31),
+        reduce_per_word,
+        sc_schema,
+    )
+    sc, _ = _materialized_nonempty(sc, sc_schema)
+
+    # per-source totals: <= #sources rows (sources are an enum by
+    # contract) — bounded driver gather, then one broadcast scalar dict
+    tot_schema = pa.schema([("source", pa.string()), ("ts", pa.int64())])
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        codes, us = pd.factorize(src, sort=False)
+        ts = np.bincount(codes, weights=c).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(us, type=pa.string()),
+                "ts": pa.array(ts, type=pa.int64()),
+            }
+        )
+
+    totals: dict[str, int] = {}
+    for r in sc.map_batches(tot_partial, batch_format="pyarrow").take_all():
+        totals[r["source"]] = totals.get(r["source"], 0) + int(r["ts"])
+    t_all = float(sum(totals.values()))
+    if not totals:
+        return pa.schema(
+            [("source", pa.string()), ("n_tokens", pa.int64()), ("kl_r", pa.float64())]
+        ).empty_table().to_pandas()
+
+    import ray
+
+    ts_ref = ray.put(dict(totals))
+
+    term_schema = pa.schema([("source", pa.string()), ("term", pa.float64())])
+
+    def kl_terms(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return term_schema.empty_table()
+        ts_map = ray.get(ts_ref)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = np.fromiter((ts_map[s] for s in src), np.float64, len(src))
+        p = c / ts
+        q = n / t_all
+        return pa.table(
+            {
+                "source": pa.array(src, type=pa.string()),
+                "term": pa.array(p * np.log(p / q), type=pa.float64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_tokens", pa.int64()), ("kl_r", pa.float64())]
+    )
+
+    def sum_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy()
+        v = g["term"].to_numpy()
+        codes, us = pd.factorize(src, sort=False)
+        s = np.bincount(codes, weights=v)
+        ts_map = dict(totals)
+        return pd.DataFrame(
+            {
+                "source": us,
+                "n_tokens": np.fromiter(
+                    (ts_map[x] for x in us), np.int64, len(us)
+                ),
+                "kl_r": round_half_up(s, 6),
+            }
+        )
+
+    return _grouped_partitions(
+        sc.map_batches(kl_terms, batch_format="pyarrow"),
+        lambda t: hash_strings(t["source"].to_pylist()) & np.uint64(31),
+        sum_per_source,
+        out_schema,
+    )

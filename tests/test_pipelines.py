@@ -29,6 +29,37 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_source_kl_matches_direct_recompute(self):
+        """Distributed KL(source || corpus) must equal a driver-side
+        Counter recompute on the real table; KL is non-negative and 0
+        only when a source's distribution equals the corpus's."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions.rounding import round_half_up
+        from invertedindex_ray.pipelines.textstats import source_kl
+
+        got = _pdf(source_kl(SF)).set_index("source").sort_index()
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+        per_src: dict[str, Counter] = {}
+        glob: Counter = Counter()
+        for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            per_src.setdefault(s, Counter()).update(ws)
+            glob.update(ws)
+        t_all = sum(glob.values())
+        for s, cnt in per_src.items():
+            ts = sum(cnt.values())
+            kl = sum(
+                (c / ts) * math.log((c / ts) / (glob[w] / t_all))
+                for w, c in cnt.items()
+            )
+            assert got.loc[s, "n_tokens"] == ts
+            assert abs(got.loc[s, "kl_r"] - float(round_half_up(np.array([kl]), 6)[0])) <= 1e-6, s
+            assert got.loc[s, "kl_r"] >= -1e-9
+
     def test_dedup_keep_best_prefers_longest(self, tmp_path):
         """keep-best keeps the LONGEST cluster member even when the
         min-id representative (dedup_filter's keeper) is shorter."""
