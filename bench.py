@@ -166,6 +166,22 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
             e.query("OR " + q, 100)
         queries["daat_msmarco_2000q"] = round(time.time() - t0, 3)
 
+        # (c) WAND vs Block-Max WAND, 300 in-vocab queries at k=10 (a
+        # tight threshold is where block skipping pays): the honest
+        # baseline for BMW is classic WAND — both are the sequential
+        # leapfrog traversal; the vectorized default above is a
+        # different (array-kernel) engine and 10-20x faster than ANY
+        # sequential DAAT on this head-heavy synthetic corpus.
+        sub = in_vocab[:300]
+        for trav, label in (("wand", "wand_300q_k10"), ("bmw", "bmw_300q_k10")):
+            et = QueryEngine(idx_dir, cfg, traversal=trav)
+            t0 = time.time()
+            for qid, q in sub:
+                et.query("OR " + q, 10)
+            dt = time.time() - t0
+            queries[label] = round(dt, 3)
+            detail[label.split("_")[0] + "_qps"] = round(len(sub) / dt, 1)
+
     if "serve" in components:
         from invertedindex_ray.pipelines.serving import (
             serve_queries,

@@ -108,7 +108,7 @@ class BlockMaxCursor(PostingCursor):
     admits. Skipping is conservative by that hair; admitted sets stay
     rank-identical (asserted against MaxScore/WAND in tests)."""
 
-    __slots__ = ("block_last", "block_max")
+    __slots__ = ("block_last", "block_max", "_bw", "_nb")
 
     def __init__(
         self,
@@ -123,24 +123,38 @@ class BlockMaxCursor(PostingCursor):
         n = len(ids)
         nb = (n + block - 1) // block
         last_idx = np.minimum(np.arange(1, nb + 1, dtype=np.int64) * block, n) - 1
-        self.block_last = ids[last_idx].astype(np.int64)
+        # plain Python lists: the traversal probes these once or twice
+        # per WAND iteration, and list indexing + int compares are ~10x
+        # cheaper than numpy scalar dispatch at that call granularity
+        self.block_last = ids[last_idx].astype(np.int64).tolist()
         starts = np.arange(nb, dtype=np.int64) * block
-        self.block_max = np.maximum.reduceat(scores, starts) * (1.0 + 1e-12)
+        self.block_max = (
+            np.maximum.reduceat(scores, starts) * (1.0 + 1e-12)
+        ).tolist()
+        self._bw = block
+        self._nb = nb
 
     def _block_of(self, d: int) -> int:
         """Index of the block holding the first posting with doc id >= d
-        (== len(block_last) when d is past the list's final doc)."""
-        return int(np.searchsorted(self.block_last, d, side="left"))
+        (== n_blocks when d is past the list's final doc). The scan
+        starts at the cursor's CURRENT block — callers only probe with
+        d >= self.doc_id, so blocks before it can never qualify — and
+        walks forward (amortized O(1): the traversal's probe points are
+        monotone within a query)."""
+        j = self.pos // self._bw if self.pos > 0 else 0
+        bl = self.block_last
+        nb = self._nb
+        while j < nb and bl[j] < d:
+            j += 1
+        return j
 
     def block_max_for(self, d: int) -> float:
         j = self._block_of(d)
-        return float(self.block_max[j]) if j < len(self.block_max) else 0.0
+        return self.block_max[j] if j < self._nb else 0.0
 
     def block_last_for(self, d: int) -> int:
         j = self._block_of(d)
-        return (
-            int(self.block_last[j]) if j < len(self.block_last) else _BMW_EXHAUSTED
-        )
+        return self.block_last[j] if j < self._nb else _BMW_EXHAUSTED
 
 
 class LazyPostingCursor:
