@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).bloom_membership(sf).select(["n_docs", "all_members"]),
         # --- text analysis ---
         "token_count": lambda sf: textstats.token_count(sf),
+        # --- GPT-2-style pre-tokenizer piece counts (token budget) ---
+        "bpe_token_count": lambda sf: textstats.bpe_token_count(sf),
         "quality_score": lambda sf: textstats.quality_score(sf),
         "lang_id": lambda sf: textstats.lang_id(sf),
         "fingerprint_md5": lambda sf: textstats.fingerprint_md5(sf),
@@ -1556,6 +1558,14 @@ ranked AS (
 )
 SELECT qid, vec_id, cos_r, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
 """,
+        # the shared RE2 pattern, single quotes doubled for the SQL literal
+        "bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + __import__(
+                "invertedindex_ray.pipelines.textstats", fromlist=["x"]
+            ).BPE_SPLIT_PATTERN.replace("'", "''")
+            + "'))::BIGINT AS n_bpe_tokens FROM documents"
+        ),
         "token_count": (
             "SELECT doc_id, length(list_filter("
             "regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens "

@@ -53,6 +53,41 @@ def token_count(sf_dir: str):
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+#: GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead —
+#: RE2, hence pyarrow AND DuckDB, rejects the original pattern's
+#: ``\s+(?!\S)`` branch; dropping it merges trailing whitespace into one
+#: token, which only affects whitespace-run counting, not word pieces).
+#: Branches: contraction suffixes, space-prefixed letter runs,
+#: space-prefixed digit runs, space-prefixed punctuation runs,
+#: whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(sf_dir: str):
+    """(doc_id, n_bpe_tokens): pre-tokenizer piece counts under a
+    GPT-2-style regex (Radford et al. 2019's pattern, RE2-ified) — the
+    *token-budget* signal a training pipeline actually bills by, vs
+    :func:`token_count`'s whitespace/alnum words. One vectorized
+    ``count_substring_regex`` kernel per batch; the SQL mirror counts
+    the identical RE2 pattern with ``regexp_extract_all``."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        n = pc.count_substring_regex(pc.coalesce(text, ""), BPE_SPLIT_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bpe_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- quality
 
 def _quality_batch(batch: pa.Table) -> pa.Table:

@@ -29,6 +29,37 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_bpe_token_count_semantics(self, tmp_path):
+        """The GPT-2-style pre-tokenizer pattern: contraction suffixes
+        split, punctuation runs are their own pieces, digit runs split
+        from letters — counts must exceed whitespace-word counts on
+        such text and exactly match a re.findall recompute."""
+        import re
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import (
+            BPE_SPLIT_PATTERN,
+            bpe_token_count,
+        )
+
+        texts = [
+            "it's a well-known fact!!",      # 's, -, !! are own pieces
+            "abc123 def",                    # digit run splits
+            "",                              # empty
+        ]
+        pq.write_table(
+            pa.table({"doc_id": [0, 1, 2], "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = _pdf(bpe_token_count(str(tmp_path))).set_index("doc_id")["n_bpe_tokens"]
+        pat = re.compile(BPE_SPLIT_PATTERN)
+        for i, t in enumerate(texts):
+            assert got.loc[i] == len(pat.findall(t)), t
+        assert got.loc[0] > len(texts[0].split())  # finer than words
+        assert got.loc[2] == 0
+
     def test_source_kl_matches_direct_recompute(self):
         """Distributed KL(source || corpus) must equal a driver-side
         Counter recompute on the real table; KL is non-negative and 0
