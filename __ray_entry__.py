@@ -196,6 +196,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": lambda sf: __import__(
             "invertedindex_ray.pipelines.hybrid", fromlist=["x"]
         ).hybrid_rrf(sf),
+        # --- phrase search served FROM a positional index artifact
+        #     (build-once term-bucketed (term, doc, positions) postings;
+        #     same output contract and oracle as the scan matcher) ---
+        "phrase_search_indexed": lambda sf: __import__(
+            "invertedindex_ray.pipelines.positional", fromlist=["x"]
+        ).phrase_search_indexed(sf),
         # --- positional phrase search (zero-shuffle per-doc matcher) ---
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
@@ -1326,6 +1332,8 @@ pos AS (
 def oracle_sql() -> dict[str, str]:
     sql = {
         "phrase_search": _phrase_sql(),
+        # the indexed engine must produce the identical result set
+        "phrase_search_indexed": _phrase_sql(),
         "proximity_search": _proximity_sql(),
         "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),

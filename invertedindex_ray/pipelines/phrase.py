@@ -51,9 +51,12 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _match_batch(batch: pa.Table, phrases: list[list[str]]) -> pa.Table:
-    if batch.num_rows == 0:
-        return _OUT_SCHEMA.empty_table()
+def doc_token_arrays(batch: pa.Table) -> tuple[np.ndarray, "pa.Array"]:
+    """(doc_row_idx, tokens) flat arrays for a (doc_id, text) batch under
+    the phrase-position token definition: lowercase, non-alphanumeric ->
+    space, positions are ranks among the surviving non-empty tokens.
+    Shared by the scan matcher below and the positional-index builder
+    (pipelines/positional.py) so the two phrase engines agree exactly."""
     text = batch["text"]
     text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
     cleaned = pc.replace_substring_regex(
@@ -66,13 +69,21 @@ def _match_batch(batch: pa.Table, phrases: list[list[str]]) -> pa.Table:
         # sliced ListArray: values carry out-of-window elements
         flat = flat.slice(offs[0], offs[-1] - offs[0])
         offs = offs - offs[0]
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     # drop the empty tokens the space-split produces; positions are
     # ranks among the surviving real tokens
     nonempty = pc.not_equal(flat, "")
     mask = nonempty.to_numpy(zero_copy_only=False)
     toks = flat.filter(nonempty)
-    doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), np.diff(offs))[mask]
+    n_rows = batch.num_rows
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))[mask]
+    return doc_idx, toks
+
+
+def _match_batch(batch: pa.Table, phrases: list[list[str]]) -> pa.Table:
+    if batch.num_rows == 0:
+        return _OUT_SCHEMA.empty_table()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx, toks = doc_token_arrays(batch)
     L = len(toks)
 
     out_phrase: list[str] = []

@@ -1,0 +1,315 @@
+"""Positional inverted index: a persisted (term, doc_id, positions)
+artifact plus phrase search served FROM the index.
+
+The reference's postings carry no positions (models/PostingList.java
+stores (docId, tf) only); :mod:`pipelines.phrase` matches phrases by
+re-scanning documents. This module adds the real-IR alternative — build
+the positional postings ONCE, then answer any number of phrase queries
+by reading only the queried terms' postings:
+
+- **build** (:func:`build_positional_index`): one tokenize pass (the
+  exact phrase-position token definition, shared via
+  ``phrase.doc_token_arrays``) -> per-batch (bucket, term, doc_id,
+  positions:list<int32>) rows -> ONE ``groupby(bucket)`` shuffle ->
+  each bucket file written term-sorted (row-group pruning serves
+  per-term reads), resumable per bucket like the main index's
+  SegmentWriter.
+- **query** (:func:`phrase_search_indexed`): tokenize the phrases, read
+  ONLY the buckets holding queried terms with a ``term IN (...)``
+  filtered parquet read (row-group pruned, columns pruned), tag each
+  posting row with its (phrase, slot) roles, hash-shuffle by doc_id,
+  and intersect position lists per (phrase, doc): a start position p
+  matches when slot j's positions contain p+j for every slot.
+  Occurrences count OVERLAPPING, identical to the scan matcher — the
+  two engines share one SQL oracle and an equality test.
+
+At 100 TB: the positional artifact is the standard positions-fork of
+the index build (one wide shuffle, bucketed resumable output); a phrase
+query touches only its terms' posting rows, so query cost scales with
+the matched terms' df, not the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from invertedindex_ray.functions.hashing import hash_strings
+from invertedindex_ray.pipelines.phrase import (
+    DRIVER_PHRASES,
+    _OUT_SCHEMA,
+    doc_token_arrays,
+)
+
+POS_ROWS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+def pos_segment_path(index_dir: str, bucket: int) -> str:
+    return os.path.join(index_dir, "pos_segments", f"bucket={bucket}.parquet")
+
+
+def _explode_positions(batch: pa.Table, num_buckets: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return POS_ROWS_SCHEMA.empty_table()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx, toks = doc_token_arrays(batch)
+    if len(toks) == 0:
+        return POS_ROWS_SCHEMA.empty_table()
+    # positions: rank within the doc (the shared token definition)
+    starts = np.flatnonzero(
+        np.concatenate(([True], doc_idx[1:] != doc_idx[:-1]))
+    )
+    lens = np.diff(np.append(starts, len(doc_idx)))
+    pos = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(starts, lens)
+    # group to (term, doc): dictionary-encode terms, sort by
+    # (term, doc, pos) — pos stays ascending inside each group
+    d = pc.dictionary_encode(toks)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, doc_idx, codes))
+    c_o, dx_o, p_o = codes[order], doc_idx[order], pos[order]
+    first = np.ones(len(c_o), dtype=bool)
+    first[1:] = (c_o[1:] != c_o[:-1]) | (dx_o[1:] != dx_o[:-1])
+    g_starts = np.flatnonzero(first)
+    g_ends = np.append(g_starts[1:], len(c_o))
+    offsets = np.concatenate(([0], g_ends)).astype(np.int32)
+    positions = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(p_o.astype(np.int32), type=pa.int32()),
+    )
+    terms = d.dictionary.take(pa.array(c_o[g_starts], type=pa.int64()))
+    buckets = (
+        hash_strings(terms.to_pylist()) & np.uint64(num_buckets - 1)
+    ).astype(np.int32)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.int32()),
+            "term": terms.cast(pa.string()),
+            "doc_id": pa.array(doc_ids[dx_o[g_starts]], type=pa.int64()),
+            "positions": positions,
+        }
+    )
+
+
+class _PosBucketWriter:
+    """map_groups callable: write one term-sorted bucket file, return a
+    manifest row. Skips buckets that already exist (resume)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    MANIFEST_SCHEMA = pa.schema(
+        [("bucket", pa.int32()), ("n_rows", pa.int64()), ("n_terms", pa.int64())]
+    )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return self.MANIFEST_SCHEMA.empty_table()
+        import pyarrow.parquet as pq
+
+        bucket = int(group["bucket"][0].as_py())
+        path = pos_segment_path(self.index_dir, bucket)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = group.drop_columns(["bucket"])
+        idx = pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            # small row groups: per-term filtered reads prune on term
+            # min/max statistics
+            pq.write_table(t, tmp, row_group_size=4096)
+            os.rename(tmp, path)
+        n_terms = len(pc.unique(t["term"]))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "n_terms": pa.array([n_terms], type=pa.int64()),
+            }
+        )
+
+
+def build_positional_index(
+    sf_dir: str, index_dir: str, *, num_buckets: int = 32
+) -> dict:
+    """Build the positional artifact under ``index_dir``; returns the
+    manifest (bucket -> rows/terms). Resumable: finished bucket files
+    are skipped on rerun."""
+    import json
+
+    import ray.data as rd
+
+    marker = os.path.join(index_dir, "pos_manifest.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    rows = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: _explode_positions(b, num_buckets), batch_format="pyarrow"
+    )
+    writer = _PosBucketWriter(index_dir)
+    manifest_rows = (
+        rows.groupby("bucket")
+        .map_groups(lambda g: writer(g), batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one row per bucket
+    manifest = {
+        str(r["bucket"]): {"n_rows": int(r["n_rows"]), "n_terms": int(r["n_terms"])}
+        for r in manifest_rows
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, marker)
+    return manifest
+
+
+def _default_index_dir(sf_dir: str, num_buckets: int) -> str:
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{num_buckets}".encode()
+    ).hexdigest()[:10]
+    return f"/tmp/iidx-posidx-{key}"
+
+
+def _tokenize_phrase(p: str) -> list[str]:
+    import re
+
+    return [w for w in re.split("[^a-z0-9]+", p.lower()) if w]
+
+
+def phrase_search_indexed(
+    sf_dir: str,
+    phrases: list[str] | None = None,
+    *,
+    index_dir: str | None = None,
+    num_buckets: int = 32,
+):
+    """(phrase, doc_id, n_matches): identical output contract to
+    :func:`phrase.phrase_search`, served from the positional index
+    (built on first use under /tmp, resumable)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        rd_empty,
+    )
+
+    phrases = DRIVER_PHRASES if phrases is None else phrases
+    index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
+    build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
+
+    split = [(_tokenize_phrase(p), p) for p in phrases]
+    # term -> [(phrase_idx, slot), ...]; a term may fill several slots
+    roles: dict[str, list[tuple[int, int]]] = {}
+    n_slots: list[int] = []
+    originals: list[str] = []
+    for pi, (terms, orig) in enumerate(split):
+        n_slots.append(len(terms))
+        originals.append(" ".join(terms))
+        for si, t in enumerate(terms):
+            roles.setdefault(t, []).append((pi, si))
+    del originals  # phrase key rebuilt below from the split terms
+
+    needed_terms = sorted(roles)
+    if not needed_terms:
+        return rd_empty(_OUT_SCHEMA)
+    term_buckets = hash_strings(needed_terms) & np.uint64(num_buckets - 1)
+    by_bucket: dict[int, list[str]] = {}
+    for t, b in zip(needed_terms, term_buckets):
+        by_bucket.setdefault(int(b), []).append(t)
+
+    paths = [
+        pos_segment_path(index_dir, b)
+        for b in sorted(by_bucket)
+        if os.path.exists(pos_segment_path(index_dir, b))
+    ]
+    if not paths:
+        return rd_empty(_OUT_SCHEMA)
+    postings = rd.read_parquet(
+        paths,
+        columns=["term", "doc_id", "positions"],
+        filter=pc.field("term").isin(needed_terms),
+    )
+
+    tagged_schema = pa.schema(
+        [
+            ("pid", pa.int32()),
+            ("slot", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return tagged_schema.empty_table()
+        terms = batch["term"].to_pylist()
+        take_idx, pids, slots = [], [], []
+        for i, t in enumerate(terms):
+            for pi, si in roles.get(t, ()):
+                take_idx.append(i)
+                pids.append(pi)
+                slots.append(si)
+        if not take_idx:
+            return tagged_schema.empty_table()
+        sub = batch.take(pa.array(take_idx, type=pa.int64()))
+        return pa.table(
+            {
+                "pid": pa.array(np.asarray(pids, dtype=np.int32), type=pa.int32()),
+                "slot": pa.array(np.asarray(slots, dtype=np.int32), type=pa.int32()),
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "positions": sub["positions"],
+            }
+        )
+
+    phrase_names = [" ".join(terms) for terms, _ in split]
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        out_p, out_d, out_n = [], [], []
+        for (pid, doc), grp in g.groupby(["pid", "doc_id"], sort=False):
+            m = n_slots[int(pid)]
+            if len(grp) != m:
+                continue  # a slot's term is missing from this doc
+            by_slot = {
+                int(s): np.asarray(p, dtype=np.int64)
+                for s, p in zip(grp["slot"], grp["positions"])
+            }
+            cand = by_slot[0]
+            for j in range(1, m):
+                cand = cand[np.isin(cand + j, by_slot[j])]
+                if not len(cand):
+                    break
+            if len(cand):
+                out_p.append(phrase_names[int(pid)])
+                out_d.append(int(doc))
+                out_n.append(len(cand))
+        return pd.DataFrame(
+            {
+                "phrase": pd.Series(out_p, dtype=object),
+                "doc_id": pd.Series(out_d, dtype=np.int64),
+                "n_matches": pd.Series(out_n, dtype=np.int64),
+            }
+        )
+
+    return grouped_partitions(
+        postings.map_batches(tag, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        intersect,
+        _OUT_SCHEMA,
+    )

@@ -29,6 +29,42 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_phrase_indexed_matches_scan_engine(self, tmp_path):
+        """The positional-index phrase engine must return exactly the
+        scan matcher's rows — including overlapping occurrences,
+        repeated-term phrases, unigrams, and absent phrases — and the
+        second call must reuse the built artifact (resume marker)."""
+        import os
+
+        from invertedindex_ray.pipelines.phrase import phrase_search
+        from invertedindex_ray.pipelines.positional import (
+            build_positional_index,
+            phrase_search_indexed,
+        )
+
+        phrases = [
+            "table hash",
+            "batch batch batch",
+            "spark",
+            "zzznope phrase",
+            "a a",  # overlapping bigram of a repeated token
+        ]
+        idx = str(tmp_path / "posidx")
+        canon = lambda df: sorted(
+            zip(df["phrase"], df["doc_id"], df["n_matches"])
+        )
+        scan = canon(_pdf(phrase_search(SF, phrases)))
+        indexed = canon(
+            _pdf(phrase_search_indexed(SF, phrases, index_dir=idx))
+        )
+        assert indexed == scan and len(scan) > 0
+        # resume: the manifest short-circuits the rebuild
+        marker = os.path.join(idx, "pos_manifest.json")
+        assert os.path.exists(marker)
+        before = os.path.getmtime(marker)
+        m = build_positional_index(SF, idx)
+        assert os.path.getmtime(marker) == before and m
+
     def test_bpe_token_count_semantics(self, tmp_path):
         """The GPT-2-style pre-tokenizer pattern: contraction suffixes
         split, punctuation runs are their own pieces, digit runs split
