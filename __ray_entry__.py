@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_indexed": lambda sf: __import__(
             "invertedindex_ray.pipelines.positional", fromlist=["x"]
         ).phrase_search_indexed(sf),
+        "proximity_search_indexed": lambda sf: __import__(
+            "invertedindex_ray.pipelines.positional", fromlist=["x"]
+        ).proximity_search_indexed(sf),
         # --- positional phrase search (zero-shuffle per-doc matcher) ---
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
@@ -1334,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_sql(),
         # the indexed engine must produce the identical result set
         "phrase_search_indexed": _phrase_sql(),
+        "proximity_search_indexed": _proximity_sql(),
         "proximity_search": _proximity_sql(),
         "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),

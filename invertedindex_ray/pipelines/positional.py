@@ -313,3 +313,133 @@ def phrase_search_indexed(
         intersect,
         _OUT_SCHEMA,
     )
+
+
+def proximity_search_indexed(
+    sf_dir: str,
+    queries: list[tuple[str, str, int]] | None = None,
+    *,
+    index_dir: str | None = None,
+    num_buckets: int = 32,
+):
+    """(query, doc_id, n_pairs, min_dist): identical output contract to
+    :func:`proximity.proximity_search`, served from the SAME positional
+    artifact as :func:`phrase_search_indexed` (distances are relative,
+    so the artifact's 0-based positions match the scan engine's 1-based
+    ones exactly). Reads only the queried terms' postings; per-doc pair
+    counting is two searchsorted calls per (query, doc)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        rd_empty,
+    )
+    from invertedindex_ray.pipelines.proximity import DRIVER_PROX
+    from invertedindex_ray.pipelines.proximity import _OUT_SCHEMA as PROX_SCHEMA
+
+    queries = DRIVER_PROX if queries is None else queries
+    index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
+    build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
+
+    # term -> [(query_idx, role)], role 0 = term_a, 1 = term_b
+    roles: dict[str, list[tuple[int, int]]] = {}
+    for qi, (ta, tb, _w) in enumerate(queries):
+        roles.setdefault(ta, []).append((qi, 0))
+        roles.setdefault(tb, []).append((qi, 1))
+    windows = [int(w) for _a, _b, w in queries]
+    names = [f"{a} {b}" for a, b, _w in queries]  # the scan engine's naming
+
+    needed_terms = sorted(roles)
+    if not needed_terms:
+        return rd_empty(PROX_SCHEMA)
+    term_buckets = hash_strings(needed_terms) & np.uint64(num_buckets - 1)
+    paths = sorted(
+        {
+            pos_segment_path(index_dir, int(b))
+            for b in term_buckets
+            if os.path.exists(pos_segment_path(index_dir, int(b)))
+        }
+    )
+    if not paths:
+        return rd_empty(PROX_SCHEMA)
+    postings = rd.read_parquet(
+        paths,
+        columns=["term", "doc_id", "positions"],
+        filter=pc.field("term").isin(needed_terms),
+    )
+
+    tagged_schema = pa.schema(
+        [
+            ("qid", pa.int32()),
+            ("role", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return tagged_schema.empty_table()
+        terms = batch["term"].to_pylist()
+        take_idx, qids, rs = [], [], []
+        for i, t in enumerate(terms):
+            for qi, r in roles.get(t, ()):
+                take_idx.append(i)
+                qids.append(qi)
+                rs.append(r)
+        if not take_idx:
+            return tagged_schema.empty_table()
+        sub = batch.take(pa.array(take_idx, type=pa.int64()))
+        return pa.table(
+            {
+                "qid": pa.array(np.asarray(qids, dtype=np.int32), type=pa.int32()),
+                "role": pa.array(np.asarray(rs, dtype=np.int32), type=pa.int32()),
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "positions": sub["positions"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_d, out_n, out_m = [], [], [], []
+        for (qid, doc), grp in g.groupby(["qid", "doc_id"], sort=False):
+            by_role = {
+                int(r): np.asarray(p, dtype=np.int64)
+                for r, p in zip(grp["role"], grp["positions"])
+            }
+            if 0 not in by_role or 1 not in by_role:
+                continue
+            pa_, pb = by_role[0], by_role[1]
+            w = windows[int(qid)]
+            lo = np.searchsorted(pb, pa_ - w, side="left")
+            hi = np.searchsorted(pb, pa_ + w, side="right")
+            n = int((hi - lo).sum())
+            if n == 0:
+                continue
+            # nearest b for each a: check insertion neighbors
+            ins = np.searchsorted(pb, pa_)
+            left = np.where(ins > 0, np.abs(pa_ - pb[np.maximum(ins - 1, 0)]),
+                            np.iinfo(np.int64).max)
+            right = np.where(ins < len(pb), np.abs(pb[np.minimum(ins, len(pb) - 1)] - pa_),
+                             np.iinfo(np.int64).max)
+            md = int(np.minimum(left, right).min())
+            out_q.append(names[int(qid)])
+            out_d.append(int(doc))
+            out_n.append(n)
+            out_m.append(md)
+        return pd.DataFrame(
+            {
+                "query": pd.Series(out_q, dtype=object),
+                "doc_id": pd.Series(out_d, dtype=np.int64),
+                "n_pairs": pd.Series(out_n, dtype=np.int64),
+                "min_dist": pd.Series(out_m, dtype=np.int64),
+            }
+        )
+
+    return grouped_partitions(
+        postings.map_batches(tag, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        pairs,
+        PROX_SCHEMA,
+    )

@@ -65,6 +65,33 @@ class TestDedup:
         m = build_positional_index(SF, idx)
         assert os.path.getmtime(marker) == before and m
 
+    def test_proximity_indexed_matches_scan_engine(self, tmp_path):
+        """The indexed proximity engine shares the positional artifact
+        and must match the scan engine exactly — including a same-term
+        query (both roles on one posting list) and a zero-hit pair."""
+        from invertedindex_ray.pipelines.positional import (
+            proximity_search_indexed,
+        )
+        from invertedindex_ray.pipelines.proximity import proximity_search
+
+        qs = [
+            ("table", "merge", 5),
+            ("hash", "hash", 3),       # same-term: (p, p) pairs, dist 0
+            ("zzznope", "table", 5),   # zero rows
+        ]
+        canon = lambda df: sorted(
+            zip(df["query"], df["doc_id"], df["n_pairs"], df["min_dist"])
+        )
+        scan = canon(_pdf(proximity_search(SF, qs)))
+        indexed = canon(
+            _pdf(
+                proximity_search_indexed(
+                    SF, qs, index_dir=str(tmp_path / "posidx2")
+                )
+            )
+        )
+        assert indexed == scan and len(scan) > 0
+
     def test_bpe_token_count_semantics(self, tmp_path):
         """The GPT-2-style pre-tokenizer pattern: contraction suffixes
         split, punctuation runs are their own pieces, digit runs split
