@@ -86,6 +86,23 @@ def rd_empty(schema: pa.Schema):
     return rd.from_arrow(schema.empty_table())
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS only (no data read) — works for a
+    single file or a directory of part files (the only layout that
+    exists at 100 TB; a ParquetFile() call on a directory raises)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def pair_join_partitions(n_rows: int) -> int:
     """Hash-join fan-out derived from DATA SIZE (left-side row count) —
     never from the cluster: a cluster-size-dependent plan made the same

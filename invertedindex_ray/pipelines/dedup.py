@@ -49,6 +49,7 @@ from invertedindex_ray.functions.hashing import mix64 as _mix64  # noqa: E402
 # data-size-derived join in the repo); kept importable from here for the
 # pipelines that alias the underscored name
 from invertedindex_ray.functions.grouping import (  # noqa: E402
+    parquet_num_rows as _parquet_num_rows,
     pair_join_partitions as _pair_join_partitions,
 )
 
@@ -864,7 +865,6 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
     DuckDB oracle reproduces the grouping bit-for-bit.
     """
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq_mod
 
     W = int(words_per_passage)
     M = 1 << 21  # ords-per-doc key base; docs are << 2M passages
@@ -904,7 +904,7 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
     # smaller than Ray's 128 MB block target, which would collapse the
     # md5-heavy explode into 1-2 tasks; ~10k docs per block keeps every
     # core busy and is a pure function of the DATA (never cluster size)
-    n_docs = pq_mod.ParquetFile(docs_path).metadata.num_rows
+    n_docs = _parquet_num_rows(docs_path)
     read_blocks = int(max(8, min(512, n_docs // 10_000 + 1)))
 
     def _docs_blocks():
@@ -1346,9 +1346,8 @@ def dedup_filter(sf_dir: str, **lsh_kw):
 
     # row count from the parquet footer (metadata only) — a docs.count()
     # here would re-read the whole documents table just to size the join
-    import pyarrow.parquet as pq_mod
 
-    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
     nparts = int(max(2, min(64, 1 + n_docs // 100_000)))
     joined = docs.join(
         rm,
@@ -1442,9 +1441,8 @@ def dedup_keep_best(sf_dir: str, **lsh_kw):
     if n_rm == 0:
         return docs
 
-    import pyarrow.parquet as pq_mod
 
-    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
     joined = docs.join(
         rm,
         join_type="left_outer",

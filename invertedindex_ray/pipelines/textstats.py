@@ -10,6 +10,9 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from invertedindex_ray.functions.grouping import (
+    parquet_num_rows as _parquet_num_rows,
+)
 from invertedindex_ray.functions.textproc import STOPWORDS
 
 _WORD = re.compile(r"[^a-zA-Z0-9]+")
@@ -382,7 +385,6 @@ def unigram_surprisal(sf_dir: str):
     At 100 TB the vocabulary may not fit one machine — that is why the
     counts table is JOINED, never collected or broadcast."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq_mod
     from ray.data.aggregate import Sum
 
     from invertedindex_ray.functions.hashing import hash_strings
@@ -462,7 +464,7 @@ def unigram_surprisal(sf_dir: str):
             }
         )
 
-    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
     rows = _normalize_schema(
         _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow"),
         doc_rows_schema,
@@ -554,7 +556,6 @@ def bigram_xent(sf_dir: str):
     dropped (same contract as the SQL mirror's GROUP BY).
     """
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq_mod
 
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.functions.rounding import round_half_up
@@ -671,7 +672,7 @@ def bigram_xent(sf_dir: str):
             }
         )
 
-    n_docs = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
     rows = _normalize_schema(
         _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow"),
         rows_schema,
