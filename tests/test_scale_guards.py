@@ -136,3 +136,26 @@ class TestAdviceFixes:
         )
         assert np.array_equal(m_small, m_large)
         assert np.array_equal(l_small, l_large)
+
+
+class TestParquetNumRows:
+    def test_file_and_directory_layouts(self, tmp_path):
+        """Footer row counts must work for a single file AND for the
+        directory-of-part-files layout (the only shape at 100 TB) —
+        pq.ParquetFile on a directory raises, which broke every
+        footer-sized join when the bench corpus went multi-file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions.grouping import parquet_num_rows
+
+        single = str(tmp_path / "single.parquet")
+        pq.write_table(pa.table({"x": list(range(7))}), single)
+        assert parquet_num_rows(single) == 7
+
+        d = tmp_path / "documents.parquet"
+        d.mkdir()
+        pq.write_table(pa.table({"x": [1, 2, 3]}), str(d / "part-0.parquet"))
+        pq.write_table(pa.table({"x": [4, 5]}), str(d / "part-1.parquet"))
+        (d / "_SUCCESS").write_text("")  # non-parquet files are ignored
+        assert parquet_num_rows(str(d)) == 5
