@@ -287,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(sf, min_count=5, k=50),
         "length_quantiles": lambda sf: textstats.length_quantiles(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
+        "window_distinct_users": lambda sf: __import__(
+            "invertedindex_ray.pipelines.windows", fromlist=["x"]
+        ).window_distinct_users(sf),
         "window_tumbling": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
         ).tumbling_counts(sf),
@@ -1798,6 +1801,11 @@ SELECT make_timestamp(ws) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value_r
 FROM x GROUP BY 1, 2
+""",
+        "window_distinct_users": """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
 """,
         "window_tumbling": """
 SELECT date_trunc('hour', ts) AS window_start,

@@ -247,3 +247,94 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, *, max_group_rows: int | None
                    ("session_end", pa.timestamp("us")),
                    ("n_events", pa.int64())]),
     )
+
+
+def window_distinct_users(sf_dir: str, window_hours: int = 1):
+    """(window_start, n_users): EXACT distinct active users per tumbling
+    hour window — the per-window cardinality every engagement dashboard
+    needs (the approximate twin is sketches.hll_distinct_terms' shape).
+
+    Scale shape: per-batch dedupe emits slim (window, user) pairs
+    (16 B/row); one reduction hash-partitioned by ``user`` colocates all
+    of a user's rows, dedupes exactly, and emits per-window PARTIAL
+    counts (a user contributes to a window from exactly one partition);
+    the final per-window sum moves <= n_partitions rows per window.
+    No corpus-sized state anywhere."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import mix64
+
+    w_us = window_hours * _HOUR_US
+
+    pair_schema = pa.schema([("window_start", pa.int64()), ("user_id", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // w_us) * w_us
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack((win, uid), axis=1), axis=0)
+        return pa.table(
+            {
+                "window_start": pa.array(pairs[:, 0], type=pa.int64()),
+                "user_id": pa.array(pairs[:, 1], type=pa.int64()),
+            }
+        )
+
+    partial_counts_schema = pa.schema(
+        [("window_start", pa.int64()), ("n_p", pa.int64())]
+    )
+
+    def dedupe_count(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["window_start"].to_numpy()
+        u = g["user_id"].to_numpy()
+        pairs = np.unique(np.stack((w, u), axis=1), axis=0)
+        wins, n = np.unique(pairs[:, 0], return_counts=True)
+        return pd.DataFrame(
+            {"window_start": wins.astype(np.int64), "n_p": n.astype(np.int64)}
+        )
+
+    partials = grouped_partitions(
+        _events(sf_dir, ["ts", "user_id"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: mix64(
+            b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        & np.uint64(31),
+        dedupe_count,
+        partial_counts_schema,
+    )
+
+    out_schema = pa.schema(
+        [("window_start", pa.timestamp("us")), ("n_users", pa.int64())]
+    )
+
+    def sum_windows(g: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        codes, wins = _pd.factorize(g["window_start"].to_numpy(), sort=False)
+        n = np.bincount(codes, weights=g["n_p"].to_numpy()).astype(np.int64)
+        return _pd.DataFrame({"window_start": wins, "n_users": n})
+
+    final = grouped_partitions(
+        partials,
+        lambda b: b["window_start"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        & np.uint64(31),
+        sum_windows,
+        pa.schema([("window_start", pa.int64()), ("n_users", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "n_users": batch["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
