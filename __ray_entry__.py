@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
         ).hopping_counts(sf),
         # --- relational / streaming hygiene ---
+        "event_value_quantiles": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).event_value_quantiles(sf),
         "json_props": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).json_props(sf),
@@ -1749,6 +1752,20 @@ r AS (
   FROM c
 )
 SELECT term, n_occurrences, rank::BIGINT AS rank FROM r WHERE rank <= 50
+""",
+        "event_value_quantiles": """
+WITH agg AS (
+  SELECT event_type,
+         quantile_disc(value, 0.5)  AS q50,
+         quantile_disc(value, 0.95) AS q95,
+         quantile_disc(value, 0.99) AS q99
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 0.5::DOUBLE AS q, q50 AS value_q FROM agg
+UNION ALL
+SELECT event_type, 0.95::DOUBLE, q95 FROM agg
+UNION ALL
+SELECT event_type, 0.99::DOUBLE, q99 FROM agg
 """,
         "json_props": (
             "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"

@@ -274,3 +274,69 @@ def range_join_counts(
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("n_right", pa.int64())]),
     )
+
+
+def event_value_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    *,
+    max_group_rows: int = 5_000_000,
+):
+    """(event_type, q, value_q): EXACT discrete quantiles of ``value``
+    per event type (quantile_disc semantics: sorted value at index
+    ceil(q*n)-1 — no interpolation, so the oracle matches bit-for-bit).
+
+    Scale shape: one keyed reduction with all of a type's rows in one
+    partition (event types are a small enum, but a single type can
+    still be a whale — the guard fails LOUDLY above ``max_group_rows``;
+    the at-scale alternative for true heavy-hitter keys is a quantile
+    sketch, which would be approximate and lose the SQL mirror).
+    ``value`` is a double, so the int-histogram collapse that makes
+    textstats.length_quantiles unbounded does not apply here."""
+    import math
+
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import hash_strings
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("q", pa.float64()),
+            ("value_q", pa.float64()),
+        ]
+    )
+    q_list = [float(q) for q in qs]
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        first = np.ones(len(et), dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(et))
+        out_t, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            guard_group_rows("event_value_quantiles", et[s], n, max_group_rows)
+            for q in q_list:
+                out_t.append(et[s])
+                out_q.append(q)
+                out_v.append(v[s + max(0, math.ceil(q * n) - 1)])
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(out_t, dtype=object),
+                "q": pd.Series(out_q, dtype=np.float64),
+                "value_q": pd.Series(out_v, dtype=np.float64),
+            }
+        )
+
+    return grouped_partitions(
+        _events(sf_dir, ["event_type", "value"]),
+        lambda b: hash_strings(b["event_type"].to_pylist()) & np.uint64(31),
+        quantiles,
+        out_schema,
+    )
