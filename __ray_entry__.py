@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
         # --- per-source unigram-KL domain-shift diagnostic ---
         "source_kl": lambda sf: textstats.source_kl(sf),
+        # --- per-doc unigram Shannon entropy (lexical diversity) ---
+        "token_entropy": lambda sf: textstats.token_entropy(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
@@ -1628,6 +1630,15 @@ SELECT s.source,
        round(sum((s.c::DOUBLE / st.ts) * ln((s.c::DOUBLE / st.ts) / (g.n::DOUBLE / tot.t))), 6) AS kl_r
 FROM sc s JOIN gw g USING (w) JOIN st USING (source) CROSS JOIN tot
 GROUP BY s.source, st.ts""",
+        "token_entropy": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dw AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, w),
+n AS (SELECT doc_id, sum(tf) AS n FROM dw GROUP BY doc_id)
+SELECT d.doc_id,
+       n.n::BIGINT AS n_tokens,
+       round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
+FROM dw d JOIN n USING (doc_id)
+GROUP BY d.doc_id, n.n""",
         "unigram_surprisal": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),

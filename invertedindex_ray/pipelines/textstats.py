@@ -1411,3 +1411,62 @@ def source_kl(sf_dir: str):
         sum_per_source,
         out_schema,
     )
+
+
+# ------------------------------------------------------------ token entropy
+
+def token_entropy(sf_dir: str):
+    """(doc_id, n_tokens, entropy_r): Shannon entropy of each doc's
+    unigram distribution, ``-sum_w (tf/n) ln(tf/n)`` over raw
+    space-split tokens — the lexical-diversity signal (low = repeated
+    boilerplate, high = varied vocabulary; complements
+    repetition_stats' top-word/dup-bigram ratios). Zero shuffle: each
+    doc's entropy is computed inside its batch with one lexsort +
+    reduceat pass."""
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("entropy_r", pa.float64()),
+        ]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(pc.coalesce(text, ""), " ")
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        words = np.asarray(wl.values.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))
+        # (doc, word) tf via one lexsort over the batch
+        codes = np.unique(words, return_inverse=True)[1] if len(words) else np.array([], dtype=np.int64)
+        order = np.lexsort((codes, doc_idx))
+        dx, cx = doc_idx[order], codes[order]
+        new = np.ones(len(dx), dtype=bool)
+        if len(dx):
+            new[1:] = (dx[1:] != dx[:-1]) | (cx[1:] != cx[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(dx))).astype(np.float64)
+        g_doc = dx[starts] if len(dx) else np.array([], dtype=np.int64)
+        n_per_doc = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.float64)
+        n_of_group = n_per_doc[g_doc] if len(g_doc) else np.array([], dtype=np.float64)
+        p = tf / np.maximum(n_of_group, 1.0)
+        terms = -(p * np.log(p))
+        ent = np.zeros(batch.num_rows, dtype=np.float64)
+        np.add.at(ent, g_doc, terms)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_per_doc.astype(np.int64), type=pa.int64()),
+                "entropy_r": pa.array(round_half_up(ent, 6), type=pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
