@@ -305,6 +305,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).event_value_quantiles(sf),
+        # --- deterministic bottom-k sample quantiles (whale-safe twin,
+        #     SQL-checkable despite being approximate) ---
+        "value_quantile_sample": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).value_quantile_sample(sf),
         "json_props": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).json_props(sf),
@@ -1777,6 +1782,32 @@ UNION ALL
 SELECT event_type, 0.95::DOUBLE, q95 FROM agg
 UNION ALL
 SELECT event_type, 0.99::DOUBLE, q99 FROM agg
+""",
+        "value_quantile_sample": """
+WITH pr AS (
+  SELECT event_type, value,
+         (md5_number_lower(event_id::VARCHAR) >> 1)::BIGINT AS p
+  FROM events
+),
+rk AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY p) AS rn
+  FROM pr
+),
+s AS (SELECT event_type, value FROM rk WHERE rn <= 1024),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_sample,
+         quantile_disc(value, 0.5)  AS q50,
+         quantile_disc(value, 0.95) AS q95,
+         quantile_disc(value, 0.99) AS q99
+  FROM s GROUP BY event_type
+)
+SELECT event_type, 0.5::DOUBLE AS q, q50 AS value_q, n_sample FROM agg
+UNION ALL
+SELECT event_type, 0.95::DOUBLE, q95, n_sample FROM agg
+UNION ALL
+SELECT event_type, 0.99::DOUBLE, q99, n_sample FROM agg
 """,
         "json_props": (
             "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"

@@ -340,3 +340,114 @@ def event_value_quantiles(
         quantiles,
         out_schema,
     )
+
+
+def value_quantile_sample(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    *,
+    k: int = 1024,
+):
+    """(event_type, q, value_q, n_sample): APPROXIMATE per-type value
+    quantiles from a deterministic bottom-k sample — the scale twin of
+    :func:`event_value_quantiles` for whale event types: instead of one
+    task holding a type's every row, each task keeps only its k
+    smallest-PRIORITY rows (priority = md5 of event_id — a fixed random
+    permutation, so the k winners are a uniform sample) and partials
+    merge by keeping the global bottom-k. Quantile-rank error is
+    O(1/sqrt(k)); memory is O(k) per type everywhere.
+
+    Because the priority is a deterministic hash, the sample — and
+    therefore the estimate — is exactly reproducible and fully
+    SQL-mirrorable (row_number() OVER (ORDER BY md5) <= k), unlike a
+    random-sample sketch: the oracle checks this approximate operator
+    bit-for-bit."""
+    import math
+
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import hash_strings, md5_hash63
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("p", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def bottom_k(et: np.ndarray, p: np.ndarray, v: np.ndarray):
+        order = np.lexsort((p, et))
+        et, p, v = et[order], p[order], v[order]
+        first = np.ones(len(et), dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(et)))
+        rank = np.arange(len(et), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < k
+        return et[keep], p[keep], v[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        p = md5_hash63([str(int(i)) for i in ids])
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        et, p, v = bottom_k(et, p, v)
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "p": pa.array(p, type=pa.int64()),
+                "value": pa.array(v, type=pa.float64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("q", pa.float64()),
+            ("value_q", pa.float64()),
+            ("n_sample", pa.int64()),
+        ]
+    )
+    q_list = [float(q) for q in qs]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        et, p, v = bottom_k(
+            g["event_type"].to_numpy(),
+            g["p"].to_numpy(),
+            g["value"].to_numpy(),
+        )
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        first = np.ones(len(et), dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(et))
+        out_t, out_q, out_v, out_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            for q in q_list:
+                out_t.append(et[s])
+                out_q.append(q)
+                out_v.append(v[s + max(0, math.ceil(q * n) - 1)])
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(out_t, dtype=object),
+                "q": pd.Series(out_q, dtype=np.float64),
+                "value_q": pd.Series(out_v, dtype=np.float64),
+                "n_sample": pd.Series(out_n, dtype=np.int64),
+            }
+        )
+
+    return grouped_partitions(
+        _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: hash_strings(b["event_type"].to_pylist()) & np.uint64(31),
+        finish,
+        out_schema,
+    )

@@ -29,6 +29,25 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_value_quantile_sample_accuracy(self):
+        """The deterministic bottom-k sample quantile must land within
+        O(1/sqrt(k)) quantile-rank distance of the exact quantile: the
+        estimate's true CDF position is asserted within 0.1 of q for
+        k=1024 (binomial bound ~3/sqrt(k) = 0.094)."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import value_quantile_sample
+
+        got = _pdf(value_quantile_sample(SF))
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        assert len(got) > 0
+        for r in got.itertuples():
+            vals = np.sort(t.loc[t["event_type"] == r.event_type, "value"].to_numpy())
+            pos = np.searchsorted(vals, r.value_q, side="right") / len(vals)
+            assert abs(pos - r.q) <= 0.1, (r.event_type, r.q, pos)
+
     def test_phrase_indexed_matches_scan_engine(self, tmp_path):
         """The positional-index phrase engine must return exactly the
         scan matcher's rows — including overlapping occurrences,
