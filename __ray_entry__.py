@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search_indexed": lambda sf: __import__(
             "invertedindex_ray.pipelines.positional", fromlist=["x"]
         ).proximity_search_indexed(sf),
+        "snippet_windows_indexed": lambda sf: __import__(
+            "invertedindex_ray.pipelines.positional", fromlist=["x"]
+        ).snippet_windows_indexed(sf),
         # --- positional phrase search (zero-shuffle per-doc matcher) ---
         "phrase_search": lambda sf: __import__(
             "invertedindex_ray.pipelines.phrase", fromlist=["x"]
@@ -1351,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         # the indexed engine must produce the identical result set
         "phrase_search_indexed": _phrase_sql(),
         "proximity_search_indexed": _proximity_sql(),
+        "snippet_windows_indexed": _snippet_sql(),
         "proximity_search": _proximity_sql(),
         "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),

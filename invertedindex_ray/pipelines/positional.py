@@ -443,3 +443,127 @@ def proximity_search_indexed(
         pairs,
         PROX_SCHEMA,
     )
+
+
+def snippet_windows_indexed(
+    sf_dir: str,
+    queries: list[tuple[str, int]] | None = None,
+    *,
+    index_dir: str | None = None,
+    num_buckets: int = 32,
+):
+    """(query, doc_id, win_start, n_hits): identical output contract to
+    :func:`snippet.snippet_windows`, served from the positional artifact
+    — best-window selection needs ONLY query-term hit positions, never
+    the text. Positions are stored 0-based; the scan engine reports
+    1-based anchors, so +1 on output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        rd_empty,
+    )
+    from invertedindex_ray.pipelines.snippet import DRIVER_SNIPPETS
+    from invertedindex_ray.pipelines.snippet import _OUT_SCHEMA as SNIP_SCHEMA
+    from invertedindex_ray.pipelines.snippet import _PACK
+
+    queries = DRIVER_SNIPPETS if queries is None else queries
+    index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
+    build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
+
+    roles: dict[str, list[int]] = {}
+    windows: list[int] = []
+    names: list[str] = []
+    for qi, (q, w) in enumerate(queries):
+        windows.append(int(w))
+        names.append(q)
+        for t in q.split():
+            # dedupe: a term repeated in the query string must count a
+            # position once, like the scan engine's is_in
+            if qi not in roles.setdefault(t, []):
+                roles[t].append(qi)
+
+    needed_terms = sorted(roles)
+    if not needed_terms:
+        return rd_empty(SNIP_SCHEMA)
+    term_buckets = hash_strings(needed_terms) & np.uint64(num_buckets - 1)
+    paths = sorted(
+        {
+            pos_segment_path(index_dir, int(b))
+            for b in term_buckets
+            if os.path.exists(pos_segment_path(index_dir, int(b)))
+        }
+    )
+    if not paths:
+        return rd_empty(SNIP_SCHEMA)
+    postings = rd.read_parquet(
+        paths,
+        columns=["term", "doc_id", "positions"],
+        filter=pc.field("term").isin(needed_terms),
+    )
+
+    tagged_schema = pa.schema(
+        [
+            ("qid", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return tagged_schema.empty_table()
+        terms = batch["term"].to_pylist()
+        take_idx, qids = [], []
+        for i, t in enumerate(terms):
+            for qi in roles.get(t, ()):
+                take_idx.append(i)
+                qids.append(qi)
+        if not take_idx:
+            return tagged_schema.empty_table()
+        sub = batch.take(pa.array(take_idx, type=pa.int64()))
+        return pa.table(
+            {
+                "qid": pa.array(np.asarray(qids, dtype=np.int32), type=pa.int32()),
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "positions": sub["positions"],
+            }
+        )
+
+    def best_windows(g: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_d, out_s, out_n = [], [], [], []
+        for (qid, doc), grp in g.groupby(["qid", "doc_id"], sort=False):
+            # merged hit positions of every query term in this doc,
+            # 1-based to match the scan engine's anchors (unique: one
+            # token occupies one position)
+            hp = np.unique(
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in grp["positions"]])
+            ) + 1
+            w = windows[int(qid)]
+            idx = np.arange(len(hp), dtype=np.int64)
+            cnt = np.searchsorted(hp, hp + w) - idx
+            score = cnt * _PACK - hp
+            best = int(score.max())
+            bc = best // _PACK + (best % _PACK != 0)
+            bs = bc * _PACK - best
+            out_q.append(names[int(qid)])
+            out_d.append(int(doc))
+            out_s.append(int(bs))
+            out_n.append(int(bc))
+        return pd.DataFrame(
+            {
+                "query": pd.Series(out_q, dtype=object),
+                "doc_id": pd.Series(out_d, dtype=np.int64),
+                "win_start": pd.Series(out_s, dtype=np.int64),
+                "n_hits": pd.Series(out_n, dtype=np.int64),
+            }
+        )
+
+    return grouped_partitions(
+        postings.map_batches(tag, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        best_windows,
+        SNIP_SCHEMA,
+    )

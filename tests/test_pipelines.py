@@ -29,6 +29,27 @@ class TestDedup:
         assert df["n_dups"].sum() == 500
         assert df["doc_id"].is_unique
 
+    def test_snippet_indexed_matches_scan_engine(self, tmp_path):
+        """Best-window selection from the positional artifact must match
+        the scan engine exactly, including a repeated-term query (each
+        position must count once) and an all-absent query (zero rows)."""
+        from invertedindex_ray.pipelines.positional import snippet_windows_indexed
+        from invertedindex_ray.pipelines.snippet import snippet_windows
+
+        qs = [("table hash", 8), ("batch batch", 6), ("zzznope qqnada", 5)]
+        canon = lambda df: sorted(
+            zip(df["query"], df["doc_id"], df["win_start"], df["n_hits"])
+        )
+        scan = canon(_pdf(snippet_windows(SF, qs)))
+        indexed = canon(
+            _pdf(
+                snippet_windows_indexed(
+                    SF, qs, index_dir=str(tmp_path / "posidx3")
+                )
+            )
+        )
+        assert indexed == scan and len(scan) > 0
+
     def test_value_quantile_sample_accuracy(self):
         """The deterministic bottom-k sample quantile must land within
         O(1/sqrt(k)) quantile-rank distance of the exact quantile: the
