@@ -91,7 +91,8 @@ def cmd_query(args) -> int:
     _ray_init(args.num_cpus)
     from invertedindex_ray.engine import IllegalQueryTypeError, QueryEngine
 
-    e = QueryEngine(args.index_dir, None, scoring=args.scoring)
+    e = QueryEngine(args.index_dir, None, scoring=args.scoring,
+                traversal=args.traversal)
 
     def run_one(q: str) -> None:
         import time
@@ -206,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--index-dir", required=True)
     pq.add_argument("-k", type=int, default=10)
     pq.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
+    pq.add_argument("--traversal",
+                    choices=["vectorized", "daat", "wand", "bmw"],
+                    default="vectorized",
+                    help="query evaluation strategy (all rank-identical)")
     pq.add_argument("query", nargs="*", help="[AND|OR] term1 ... termN")
     pq.set_defaults(fn=cmd_query)
 
