@@ -308,6 +308,26 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         queries["dedup_passages"] = round(time.time() - t0, 3)
         detail["dedup_passages_docs"] = int(n_out)
 
+    if "positional" in components:
+        # positional-index build over the full bench corpus + phrase
+        # queries served from the artifact (build timed cold: the dir is
+        # wiped first)
+        from invertedindex_ray.pipelines.positional import (
+            build_positional_index,
+            phrase_search_indexed,
+        )
+
+        docs_dir = ensure_docs_dir()
+        pos_dir = f"/tmp/iidx-bench-posidx-{sf}-{num_cpus}"
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.time()
+        build_positional_index(docs_dir, pos_dir)
+        queries["positional_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n = phrase_search_indexed(docs_dir, index_dir=pos_dir).count()
+        queries["phrase_indexed"] = round(time.time() - t0, 3)
+        detail["phrase_indexed_rows"] = int(n)
+
     if "dedup_minhash_big" in components:
         # the minhash pipeline at a size where the shuffle (not operator
         # startup) dominates — the scaling-evidence twin of dedup_minhash
