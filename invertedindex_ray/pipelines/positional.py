@@ -45,11 +45,17 @@ from invertedindex_ray.pipelines.phrase import (
     doc_token_arrays,
 )
 
+# shuffle rows: ONE row per (bucket, term) per batch — doc ids, per-doc
+# position counts and the flat positions ride as packed lists, so the
+# exchange ships each term string once per batch instead of once per
+# (term, doc) (a 6x row reduction at bench scale; same trick as the
+# main build's PostingsPartial combine)
 POS_ROWS_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
         ("term", pa.string()),
-        ("doc_id", pa.int64()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("pos_lens", pa.list_(pa.int32())),
         ("positions", pa.list_(pa.int32())),
     ]
 )
@@ -78,16 +84,37 @@ def _explode_positions(batch: pa.Table, num_buckets: int) -> pa.Table:
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((pos, doc_idx, codes))
     c_o, dx_o, p_o = codes[order], doc_idx[order], pos[order]
+    # (term, doc) group boundaries -> per-group doc id + position count
     first = np.ones(len(c_o), dtype=bool)
     first[1:] = (c_o[1:] != c_o[:-1]) | (dx_o[1:] != dx_o[:-1])
     g_starts = np.flatnonzero(first)
     g_ends = np.append(g_starts[1:], len(c_o))
-    offsets = np.concatenate(([0], g_ends)).astype(np.int32)
-    positions = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()),
+    g_doc = doc_ids[dx_o[g_starts]]
+    g_len = (g_ends - g_starts).astype(np.int32)
+    g_code = c_o[g_starts]
+    # term boundaries over the groups -> one combined row per term
+    t_first = np.ones(len(g_code), dtype=bool)
+    t_first[1:] = g_code[1:] != g_code[:-1]
+    t_starts = np.flatnonzero(t_first)
+    t_ends = np.append(t_starts[1:], len(g_code))
+    doc_offsets = np.concatenate(([0], t_ends)).astype(np.int32)
+    doc_ids_col = pa.ListArray.from_arrays(
+        pa.array(doc_offsets, type=pa.int32()),
+        pa.array(g_doc.astype(np.int64), type=pa.int64()),
+    )
+    pos_lens_col = pa.ListArray.from_arrays(
+        pa.array(doc_offsets, type=pa.int32()),
+        pa.array(g_len, type=pa.int32()),
+    )
+    # flat positions split at term boundaries (g_starts of each term run)
+    pos_offsets = np.concatenate(
+        (g_starts[t_starts], [len(p_o)])
+    ).astype(np.int32)
+    positions_col = pa.ListArray.from_arrays(
+        pa.array(pos_offsets, type=pa.int32()),
         pa.array(p_o.astype(np.int32), type=pa.int32()),
     )
-    terms = d.dictionary.take(pa.array(c_o[g_starts], type=pa.int64()))
+    terms = d.dictionary.take(pa.array(g_code[t_starts], type=pa.int64()))
     buckets = (
         hash_strings(terms.to_pylist()) & np.uint64(num_buckets - 1)
     ).astype(np.int32)
@@ -95,8 +122,9 @@ def _explode_positions(batch: pa.Table, num_buckets: int) -> pa.Table:
         {
             "bucket": pa.array(buckets, type=pa.int32()),
             "term": terms.cast(pa.string()),
-            "doc_id": pa.array(doc_ids[dx_o[g_starts]], type=pa.int64()),
-            "positions": positions,
+            "doc_ids": doc_ids_col,
+            "pos_lens": pos_lens_col,
+            "positions": positions_col,
         }
     )
 
@@ -120,7 +148,47 @@ class _PosBucketWriter:
         bucket = int(group["bucket"][0].as_py())
         path = pos_segment_path(self.index_dir, bucket)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        t = group.drop_columns(["bucket"])
+        # expand the combined per-(batch, term) runs back to one row per
+        # (term, doc) — the on-disk layout the query engines read
+        term_col = group["term"]
+        term_col = (
+            term_col.combine_chunks()
+            if isinstance(term_col, pa.ChunkedArray)
+            else term_col
+        )
+        doc_lists = group["doc_ids"]
+        doc_lists = (
+            doc_lists.combine_chunks()
+            if isinstance(doc_lists, pa.ChunkedArray)
+            else doc_lists
+        )
+        flat_docs = doc_lists.flatten().to_numpy(zero_copy_only=False)
+        docs_per_row = (
+            pc.list_value_length(doc_lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        row_idx = np.repeat(
+            np.arange(group.num_rows, dtype=np.int64), docs_per_row
+        )
+        term_out = term_col.take(pa.array(row_idx, type=pa.int64()))
+        pl = group["pos_lens"]
+        pl = pl.combine_chunks() if isinstance(pl, pa.ChunkedArray) else pl
+        flat_lens = pl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = group["positions"]
+        pv = pv.combine_chunks() if isinstance(pv, pa.ChunkedArray) else pv
+        flat_pos = pv.flatten()
+        offsets = np.concatenate(([0], np.cumsum(flat_lens))).astype(np.int32)
+        pos_rows = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat_pos
+        )
+        t = pa.table(
+            {
+                "term": term_out.cast(pa.string()),
+                "doc_id": pa.array(flat_docs, type=pa.int64()),
+                "positions": pos_rows,
+            }
+        )
         idx = pc.sort_indices(
             t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
         )
