@@ -373,7 +373,8 @@ def run_scaling(sf_dir: str) -> dict:
     rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
     component = os.environ.get("BENCH_SCALE_COMPONENT", "build")
     # component name -> the key its timing lands under in queries{}
-    qkey = {"passages": "dedup_passages"}.get(component, component)
+    qkey = {"passages": "dedup_passages",
+            "positional": "positional_build"}.get(component, component)
     lo, hi = levels
 
     def one(ncpu: int) -> dict:
