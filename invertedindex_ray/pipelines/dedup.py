@@ -228,6 +228,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     broadcast_max_pairs: int = 20_000,
+    hasher: str = "md5",
 ):
     """(doc_a, doc_b, est_jaccard_r) candidate near-dup pairs, fully
     distributed:
@@ -253,6 +254,13 @@ def minhash_lsh_pairs(
 
     Estimated Jaccard = fraction of agreeing signature slots; no raw text
     ever shuffles. Every stage is a bounded-width shuffle.
+
+    ``hasher``: ``"md5"`` (default) hashes each shingle with md5_hash63 —
+    bit-identical to the DuckDB oracle, but one hashlib call per shingle;
+    ``"siphash"`` uses the vectorized fixed-key siphash
+    (functions/hashing.hash_strings) — ~2x faster signatures with the
+    same detection behavior (any universal hash works for MinHash), for
+    production runs that don't need the SQL mirror.
     """
 
     rows_per_band = num_perm // bands
@@ -264,7 +272,7 @@ def minhash_lsh_pairs(
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         # md5 shingle hashes: SQL-mirrorable (see oracle_sql)
-        shingles = _shingle_hashes(texts, shingle_k, hasher="md5")
+        shingles = _shingle_hashes(texts, shingle_k, hasher=hasher)
         doc_ids, sigs = [], []
         for d, sh in zip(ids, shingles):
             if len(sh) == 0:

@@ -362,6 +362,22 @@ class TestDedup:
         missing = exact_pairs - est_pairs
         assert not missing, f"LSH missed high-sim pairs: {missing}"
 
+    def test_minhash_siphash_hasher_detects_same_pairs(self):
+        """hasher='siphash' (vectorized, no SQL mirror) must detect the
+        same high-similarity pairs as the md5 oracle path — MinHash's
+        behavior is hasher-agnostic for any universal hash."""
+        from invertedindex_ray.pipelines.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = _pdf(ngram_jaccard_pairs(SF, k=3, tau=0.8))
+        exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+        sip = _pdf(minhash_lsh_pairs(SF, threshold=0.5, hasher="siphash"))
+        sip_pairs = set(zip(sip["doc_a"], sip["doc_b"]))
+        missing = exact_pairs - sip_pairs
+        assert not missing, f"siphash LSH missed high-sim pairs: {missing}"
+
     def test_minhash_inplace_kernel_matches_reference(self):
         """The in-place mulmod kernel (bandwidth optimization) must be
         bit-identical to a straightforward out-of-place evaluation of
