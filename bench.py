@@ -440,6 +440,6 @@ if __name__ == "__main__":
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
             "BENCH_COMPONENTS",
-            "build,daat,serve,topk_batch,dedup_minhash,ann,passages",
+            "build,daat,serve,topk_batch,dedup_minhash,ann,passages,positional",
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))
