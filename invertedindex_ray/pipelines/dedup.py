@@ -263,6 +263,8 @@ def minhash_lsh_pairs(
     production runs that don't need the SQL mirror.
     """
 
+    if hasher not in ("md5", "siphash"):
+        raise ValueError(f"unknown hasher {hasher!r} (md5 | siphash)")
     rows_per_band = num_perm // bands
     assert num_perm % bands == 0
     P = np.uint64((1 << 61) - 1)

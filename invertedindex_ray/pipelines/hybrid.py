@@ -79,7 +79,13 @@ def dense_neighbors(sf_dir: str, *, seed_mod: int = 101, k: int = 10) -> pa.Tabl
     qnorm[qnorm == 0] = 1.0
     ref = ray.put((qids, qmat, qnorm))
 
+    empty = pa.schema(
+        [("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())]
+    ).empty_table()
+
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
         q_ids, q_mat, q_norm = ray.get(ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         emb = np.stack(

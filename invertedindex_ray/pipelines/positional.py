@@ -178,7 +178,16 @@ class _PosBucketWriter:
         pv = group["positions"]
         pv = pv.combine_chunks() if isinstance(pv, pa.ChunkedArray) else pv
         flat_pos = pv.flatten()
-        offsets = np.concatenate(([0], np.cumsum(flat_lens))).astype(np.int32)
+        offsets64 = np.concatenate(([0], np.cumsum(flat_lens)))
+        if offsets64[-1] > np.iinfo(np.int32).max:
+            # loud bound, not a silent int32 wrap: one bucket's positions
+            # must fit list<int32> offsets
+            raise ValueError(
+                f"positional bucket {bucket} holds {offsets64[-1]} positions, "
+                "above the int32 list-offset bound — raise num_buckets so "
+                "each bucket's position count stays under 2^31"
+            )
+        offsets = offsets64.astype(np.int32)
         pos_rows = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), flat_pos
         )
@@ -209,20 +218,56 @@ class _PosBucketWriter:
         )
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the documents table: per-part (name, bytes,
+    mtime_ns) from the filesystem only — a regenerated corpus at the
+    SAME path must invalidate the cached artifact (a stale positional
+    index would silently serve results from the OLD corpus)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(path, f))
+                parts.append((f, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(parts).encode()).hexdigest()
+
+
 def build_positional_index(
     sf_dir: str, index_dir: str, *, num_buckets: int = 32
 ) -> dict:
     """Build the positional artifact under ``index_dir``; returns the
     manifest (bucket -> rows/terms). Resumable: finished bucket files
-    are skipped on rerun."""
+    are skipped on rerun — but ONLY within one corpus fingerprint: a
+    changed/regenerated documents table wipes the dir first, so stale
+    or mixed-generation buckets can never serve queries."""
     import json
+    import shutil
 
     import ray.data as rd
 
+    fp = _corpus_fingerprint(sf_dir)
     marker = os.path.join(index_dir, "pos_manifest.json")
-    if os.path.exists(marker):
+    fp_file = os.path.join(index_dir, "pos_fingerprint.txt")
+    existing_fp = None
+    if os.path.exists(fp_file):
+        with open(fp_file) as f:
+            existing_fp = f.read().strip()
+    if existing_fp != fp and os.path.exists(index_dir):
+        # different (or unknown) corpus generation: no bucket in this
+        # dir is trustworthy, including partial builds
+        shutil.rmtree(index_dir, ignore_errors=True)
+    if os.path.exists(marker) and existing_fp == fp:
         with open(marker) as f:
             return json.load(f)
+    # stamp the fingerprint BEFORE building: a partial build that dies
+    # mid-run resumes only if the corpus still matches
+    os.makedirs(index_dir, exist_ok=True)
+    with open(fp_file, "w") as f:
+        f.write(fp)
     rows = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
@@ -254,9 +299,13 @@ def _default_index_dir(sf_dir: str, num_buckets: int) -> str:
 
 
 def _tokenize_phrase(p: str) -> list[str]:
-    import re
-
-    return [w for w in re.split("[^a-z0-9]+", p.lower()) if w]
+    """The SCAN engine's phrase splitting (phrase.phrase_search:
+    ``p.split()``) — the two engines must agree on both the match set
+    and the output label for ANY caller phrase, so no normalization
+    happens here either: an un-normalized term (e.g. 'Merge-Group')
+    matches nothing in the lowercase token space, exactly like the
+    scan matcher."""
+    return p.split()
 
 
 def phrase_search_indexed(
@@ -285,13 +334,10 @@ def phrase_search_indexed(
     # term -> [(phrase_idx, slot), ...]; a term may fill several slots
     roles: dict[str, list[tuple[int, int]]] = {}
     n_slots: list[int] = []
-    originals: list[str] = []
     for pi, (terms, orig) in enumerate(split):
         n_slots.append(len(terms))
-        originals.append(" ".join(terms))
         for si, t in enumerate(terms):
             roles.setdefault(t, []).append((pi, si))
-    del originals  # phrase key rebuilt below from the split terms
 
     needed_terms = sorted(roles)
     if not needed_terms:

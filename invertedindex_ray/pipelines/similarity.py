@@ -177,11 +177,10 @@ def _allpairs_neardup(sf_dir: str, tau: float):
     accidental method="allpairs" on a web-scale table must not OOM the
     driver silently (VERDICT r3 #3)."""
     import ray
-    import pyarrow.parquet as pq_mod
 
-    n_total = pq_mod.ParquetFile(
-        f"{sf_dir}/embeddings.parquet"
-    ).metadata.num_rows
+    from invertedindex_ray.functions.grouping import parquet_num_rows
+
+    n_total = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     if n_total > ALLPAIRS_MAX_ROWS:
         raise ValueError(
             f"embedding_neardup_pairs(method='allpairs'): table has "

@@ -319,8 +319,11 @@ def window_distinct_users(sf_dir: str, window_hours: int = 1):
 
     final = grouped_partitions(
         partials,
-        lambda b: b["window_start"].to_numpy(zero_copy_only=False).astype(
-            np.uint64
+        # window_start is a multiple of w_us (divisible by 1024), so a
+        # bare & 31 is constant zero — mix first or the final sum
+        # serializes into one partition
+        lambda b: mix64(
+            b["window_start"].to_numpy(zero_copy_only=False).astype(np.uint64)
         )
         & np.uint64(31),
         sum_windows,

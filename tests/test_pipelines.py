@@ -105,6 +105,61 @@ class TestDedup:
         m = build_positional_index(SF, idx)
         assert os.path.getmtime(marker) == before and m
 
+    def test_positional_index_invalidated_by_corpus_change(self, tmp_path):
+        """A regenerated corpus at the SAME path must invalidate the
+        cached artifact — a stale positional index silently serving the
+        OLD corpus's matches breaks the scan-engine contract."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import os
+
+        from invertedindex_ray.pipelines.positional import phrase_search_indexed
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        idx = str(tmp_path / "pidx")
+        pq.write_table(
+            pa.table({"doc_id": [1], "text": ["alpha beta gamma"]}),
+            os.path.join(sf, "documents.parquet"),
+        )
+        r1 = _pdf(phrase_search_indexed(sf, ["alpha beta"], index_dir=idx))
+        assert list(r1["doc_id"]) == [1]
+        # regenerate the corpus in place: the old phrase is gone
+        pq.write_table(
+            pa.table({"doc_id": [2], "text": ["delta epsilon zeta"]}),
+            os.path.join(sf, "documents.parquet"),
+        )
+        r2 = _pdf(phrase_search_indexed(sf, ["alpha beta", "delta epsilon"],
+                                        index_dir=idx))
+        assert list(r2["doc_id"]) == [2]
+        assert set(r2["phrase"]) == {"delta epsilon"}
+
+    def test_phrase_indexed_unnormalized_phrase_matches_scan(self, tmp_path):
+        """A caller phrase that is not pre-normalized (uppercase /
+        punctuation) must behave exactly like the scan engine: no
+        normalization, hence zero rows — not a silently-normalized
+        match set with a different label."""
+        from invertedindex_ray.pipelines.phrase import phrase_search
+        from invertedindex_ray.pipelines.positional import phrase_search_indexed
+
+        qs = ["Merge-Group", "table hash"]
+        canon = lambda df: sorted(
+            zip(df["phrase"], df["doc_id"], df["n_matches"])
+        )
+        scan = canon(_pdf(phrase_search(SF, qs)))
+        indexed = canon(
+            _pdf(phrase_search_indexed(SF, qs, index_dir=str(tmp_path / "p4")))
+        )
+        assert indexed == scan
+        assert all(p != "merge group" for p, _d, _n in indexed)
+
+    def test_minhash_rejects_unknown_hasher(self):
+        from invertedindex_ray.pipelines.dedup import minhash_lsh_pairs
+
+        with pytest.raises(ValueError, match="hasher"):
+            minhash_lsh_pairs(SF, hasher="MD5")
+
     def test_proximity_indexed_matches_scan_engine(self, tmp_path):
         """The indexed proximity engine shares the positional artifact
         and must match the scan engine exactly — including a same-term
