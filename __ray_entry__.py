@@ -103,13 +103,19 @@ def _served_results_table(sf_dir: str, cfg: IndexConfig | None = None):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from invertedindex_ray.pipelines.serving import serve_queries
+    from invertedindex_ray.pipelines.serving import (
+        serve_queries,
+        shared_index_state,
+    )
 
     cfg = cfg or IndexConfig()
     _built_engine(sf_dir, cfg)  # ensure the index exists on disk
     idx = _index_dir_for(sf_dir, cfg)
+    # one plasma copy of the decoded doc table + lexicon for the whole
+    # pool (the web-scale serving shape) — result-identical by contract
     ds = serve_queries(idx, list(DRIVER_QUERY_SET), config=cfg, k=_K,
-                       concurrency=2, qtype="raw")
+                       concurrency=2, qtype="raw",
+                       state_ref=shared_index_state(idx))
     t = pa.Table.from_pylist(ds.take_all())
     if t.num_rows == 0:
         return pa.table({"qid": pa.array([], pa.string()),
