@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
         # --- per-source unigram-KL domain-shift diagnostic ---
         "source_kl": lambda sf: textstats.source_kl(sf),
+        "top_terms_by_source": lambda sf: textstats.top_terms_by_source(sf),
         # --- per-doc unigram Shannon entropy (lexical diversity) ---
         "token_entropy": lambda sf: textstats.token_entropy(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
@@ -1645,6 +1646,15 @@ SELECT s.source,
        round(sum((s.c::DOUBLE / st.ts) * ln((s.c::DOUBLE / st.ts) / (g.n::DOUBLE / tot.t))), 6) AS kl_r
 FROM sc s JOIN gw g USING (w) JOIN st USING (source) CROSS JOIN tot
 GROUP BY s.source, st.ts""",
+        "top_terms_by_source": """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+st AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY source, term),
+rk AS (
+  SELECT source, term, tf,
+         row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rank
+  FROM st
+)
+SELECT source, term, tf, rank::BIGINT AS rank FROM rk WHERE rank <= 10""",
         "token_entropy": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 dw AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, w),

@@ -1470,3 +1470,118 @@ def token_entropy(sf_dir: str):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- per-source top terms
+
+def top_terms_by_source(sf_dir: str, *, k: int = 10):
+    """(source, term, tf, rank): the k highest-total-tf space-split
+    tokens per source (ties: term ascending) — the quick per-domain
+    vocabulary inspection a mixing dashboard shows next to
+    :func:`source_kl`'s divergence number.
+
+    Shape: per-batch (source, term, tf) partials -> ONE reduction
+    hash-partitioned by (source, term) for exact totals -> a second
+    source-keyed reduction picks each source's top-k (sources are a
+    small enum; per-source candidate rows entering stage 2 are already
+    collapsed to distinct terms)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.pipelines.dedup import (
+        _grouped_partitions,
+        _materialized_nonempty,
+        _mix64,
+    )
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        wl = pc.split_pattern(pc.coalesce(text, ""), " ")
+        words = np.asarray(wl.values.to_pylist(), dtype=object)
+        if len(words) == 0:
+            return part_schema.empty_table()
+        offs = wl.offsets.to_numpy().astype(np.int64)
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        src_tok = np.repeat(srcs, np.diff(offs))
+        key = np.char.add(
+            np.char.add(src_tok.astype(str), "\x1f"), words.astype(str)
+        ).astype(object)
+        _uk, first, tf = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(src_tok[first], type=pa.string()),
+                "term": pa.array(words[first], type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def sum_exact(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy()
+        term = g["term"].to_numpy()
+        tf = g["tf"].to_numpy()
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), term.astype(str))
+        codes, _uk = pd.factorize(key, sort=False)
+        tot = np.bincount(codes, weights=tf).astype(np.int64)
+        first = np.unique(codes, return_index=True)[1]
+        return pd.DataFrame(
+            {"source": src[first], "term": term[first], "tf": tot}
+        )
+
+    totals = _grouped_partitions(
+        _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda t: (
+            hash_strings(t["source"].to_pylist())
+            ^ _mix64(hash_strings(t["term"].to_pylist()))
+        )
+        & np.uint64(31),
+        sum_exact,
+        part_schema,
+    )
+    totals, _ = _materialized_nonempty(totals, part_schema)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy()
+        term = g["term"].to_numpy()
+        tf = g["tf"].to_numpy()
+        order = np.lexsort((term, -tf, src))
+        src, term, tf = src[order], term[order], tf[order]
+        first = np.ones(len(src), dtype=bool)
+        first[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(src)))
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        return pd.DataFrame(
+            {
+                "source": src[keep],
+                "term": term[keep],
+                "tf": tf[keep].astype(np.int64),
+                "rank": rank[keep],
+            }
+        )
+
+    return _grouped_partitions(
+        totals,
+        lambda t: hash_strings(t["source"].to_pylist()) & np.uint64(31),
+        topk,
+        out_schema,
+    )
