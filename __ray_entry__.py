@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.ann_topk(sf, n_queries=5, k=10),
+        # --- k-NN label vote over the labeled embeddings table ---
+        "knn_label_vote": lambda sf: similarity.knn_label_vote(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
         # --- distributed k-means + SemDeDup (iterative: rows-only, the
         #     pytest oracle is a pure-numpy Lloyd run) ---
@@ -1577,6 +1579,34 @@ FROM embeddings a
 JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "knn_label_vote": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label
+  FROM embeddings ORDER BY vec_id LIMIT 20
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_r
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+),
+nn AS (
+  SELECT qid, vec_id, label FROM (
+    SELECT qid, vec_id, label,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+votes AS (SELECT qid, label, count(*)::BIGINT AS n FROM nn GROUP BY qid, label),
+best AS (
+  SELECT qid, label AS pred_label, n AS n_votes FROM (
+    SELECT qid, label, n,
+           row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q.qid, q.true_label::BIGINT AS true_label,
+       b.pred_label::BIGINT AS pred_label, b.n_votes
+FROM q JOIN best b USING (qid)""",
         "ann_topk": """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings

@@ -398,3 +398,114 @@ def ivf_ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_centroids: i
         ),
         preserve_index=False,
     )
+
+
+def knn_label_vote(sf_dir: str, *, n_queries: int = 20, k: int = 10):
+    """(qid, true_label, pred_label, n_votes): k-NN classification of
+    the first ``n_queries`` vectors by majority label of their k nearest
+    OTHER vectors (cosine; neighbor ties by the ann rank rule — rounded
+    cos desc, vec_id asc; label ties by smallest label) — the standard
+    embedding-quality probe over the labeled embeddings table.
+
+    Same scale shape as :func:`ann_topk`: query matrix broadcast once,
+    per-batch matmul + partial top-k carrying the neighbors' labels;
+    only k rows per query per batch shuffle."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    ref = ray.put((qids, qmat, qnorm))
+    qid_set = set(int(q) for q in qids)
+
+    emb_ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    part_schema = pa.schema(
+        [
+            ("qid", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("cos", pa.float64()),
+            ("label", pa.int64()),
+        ]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        q_ids, q_mat, q_norm = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in batch["embedding"].to_pylist()]
+        )
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (q_mat @ emb.T) / (q_norm[:, None] * norms[None, :])
+        for qi, qid in enumerate(q_ids):
+            cos[qi, ids == qid] = -np.inf  # self-exclusion
+        out_q, out_v, out_c = _partial_topk_rows(q_ids, cos, ids, k)
+        keep = np.isfinite(np.asarray(out_c, dtype=np.float64))
+        v = np.asarray(out_v, dtype=np.int64)[keep]
+        label_of = dict(zip(ids.tolist(), labels.tolist()))
+        return pa.table(
+            {
+                "qid": pa.array(np.asarray(out_q, dtype=np.int64)[keep], type=pa.int64()),
+                "vec_id": pa.array(v, type=pa.int64()),
+                "cos": pa.array(np.asarray(out_c, dtype=np.float64)[keep], type=pa.float64()),
+                "label": pa.array(
+                    np.fromiter((label_of[int(x)] for x in v), np.int64, len(v)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    partial = emb_ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=1024)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(cos_r=round_half_up(g["cos"].to_numpy(), 6))
+        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
+        counts: dict[int, int] = {}
+        for lb in g["label"]:
+            counts[int(lb)] = counts.get(int(lb), 0) + 1
+        pred, n = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0]
+        return pd.DataFrame(
+            {
+                "qid": [int(g["qid"].iloc[0])],
+                "pred_label": [pred],
+                "n_votes": [n],
+            }
+        )
+
+    voted = (
+        partial.groupby("qid").map_groups(vote, batch_format="pandas").to_pandas()
+    )
+
+    # true labels of the query vectors: a bounded filtered gather
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((int(i) in qid_set for i in ids), bool, len(ids))
+        return batch.select(["vec_id", "label"]).filter(pa.array(m))
+
+    true_of = {
+        int(r["vec_id"]): int(r["label"])
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        ).map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    voted = voted.sort_values("qid").reset_index(drop=True)
+    return pa.table(
+        {
+            "qid": pa.array(voted["qid"].to_numpy(np.int64), type=pa.int64()),
+            "true_label": pa.array(
+                np.fromiter((true_of[int(q)] for q in voted["qid"]), np.int64,
+                            len(voted)),
+                type=pa.int64(),
+            ),
+            "pred_label": pa.array(voted["pred_label"].to_numpy(np.int64), type=pa.int64()),
+            "n_votes": pa.array(voted["n_votes"].to_numpy(np.int64), type=pa.int64()),
+        }
+    )
