@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- k-NN label vote over the labeled embeddings table ---
         "knn_label_vote": lambda sf: similarity.knn_label_vote(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
+        # --- recall@k of the IVF path vs the exact brute-force path ---
+        "ann_ivf_recall": lambda sf: similarity.ann_ivf_recall(sf),
         # --- distributed k-means + SemDeDup (iterative: rows-only, the
         #     pytest oracle is a pure-numpy Lloyd run) ---
         "kmeans_clusters": lambda sf: __import__(
@@ -1579,6 +1581,30 @@ FROM embeddings a
 JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "ann_ivf_recall": """
+WITH exact AS (
+  WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+    ORDER BY vec_id LIMIT 5
+  ),
+  scored AS (
+    SELECT q.qid, e.vec_id,
+           round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_r
+    FROM q CROSS JOIN embeddings e
+  )
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+approx AS (SELECT qid, vec_id FROM (""" + _IVF_SQL + """) ivf),
+hits AS (
+  SELECT e.qid, count(a.vec_id)::BIGINT AS n_hit
+  FROM exact e LEFT JOIN approx a USING (qid, vec_id)
+  GROUP BY e.qid
+)
+SELECT qid, n_hit, round(n_hit::DOUBLE / 10, 6) AS recall_r FROM hits""",
         "knn_label_vote": """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label

@@ -509,3 +509,36 @@ def knn_label_vote(sf_dir: str, *, n_queries: int = 20, k: int = 10):
             "n_votes": pa.array(voted["n_votes"].to_numpy(np.int64), type=pa.int64()),
         }
     )
+
+
+def ann_ivf_recall(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """(qid, n_hit, recall_r): per-query overlap between the IVF
+    approximate top-k and the exact brute-force top-k — the standard
+    ANN quality probe (recall@k), computed from the two existing
+    SQL-checked pipelines. Both inputs are bounded (n_queries x k)
+    answer sets; the comparison is one driver-side pass."""
+    exact = ann_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = ivf_ann_topk(sf_dir, n_queries=n_queries, k=k)
+
+    def _sets(t) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for q, v in zip(
+            t["qid"].to_numpy(zero_copy_only=False),
+            t["vec_id"].to_numpy(zero_copy_only=False),
+        ):
+            out.setdefault(int(q), set()).add(int(v))
+        return out
+
+    ex, ap = _sets(exact), _sets(approx)
+    qids = sorted(ex)
+    n_hit = [len(ex[q] & ap.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "qid": pa.array(qids, type=pa.int64()),
+            "n_hit": pa.array(n_hit, type=pa.int64()),
+            "recall_r": pa.array(
+                round_half_up(np.array(n_hit, dtype=np.float64) / k, 6),
+                type=pa.float64(),
+            ),
+        }
+    )
