@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": lambda sf: textstats.token_entropy(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
         "quality_filter": lambda sf: textstats.quality_filter(sf),
+        # --- Gopher quality rules (Rae et al. 2021 A1.1) ---
+        "gopher_quality": lambda sf: textstats.gopher_quality(sf),
+        # --- Zipf rank-frequency slope (corpus-health diagnostic) ---
+        "zipf_slope": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).zipf_slope(sf, n=1000),
         "dsir_weights": lambda sf: textstats.dsir_weights(sf),
         "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(sf, min_count=5, k=50),
@@ -1720,6 +1726,79 @@ SELECT d.doc_id,
        round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
 FROM dw d JOIN n USING (doc_id)
 GROUP BY d.doc_id, n.n""",
+        # Gopher rules: word aggregates from one \s+ split (empties
+        # dropped), line aggregates from one newline split, symbol
+        # counts via replace()-length (non-overlapping, same as Arrow
+        # count_substring). keep compares the UNROUNDED DOUBLE ratios —
+        # bit-identical IEEE ops to the numpy kernel.
+        "gopher_quality": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ws,
+         coalesce(text, '') AS t
+  FROM documents
+),
+w2 AS (
+  SELECT doc_id, ws, t, list_transform(ws, x -> lower(x)) AS lws FROM w
+),
+wa AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws, x -> len(x))), 0)::BIGINT AS sum_wlen,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS n_alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         r -> list_contains(lws, r)))::BIGINT AS req_words,
+         ((len(t) - len(replace(t, '#', '')))
+          + (len(t) - len(replace(t, '...', ''))) // 3)::BIGINT AS n_symbols,
+         string_split(t, chr(10)) AS lines
+  FROM w2
+),
+la AS (
+  SELECT doc_id, n_words, sum_wlen, n_alpha_words, req_words, n_symbols,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bullet,
+         len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::BIGINT AS n_ellipsis
+  FROM wa
+),
+ratios AS (
+  SELECT doc_id, n_words, n_lines, req_words,
+         CASE WHEN n_words > 0
+              THEN sum_wlen::DOUBLE / n_words ELSE 0.0 END AS mean_wl,
+         CASE WHEN n_words > 0
+              THEN n_symbols::DOUBLE / n_words ELSE 0.0 END AS sym,
+         CASE WHEN n_words > 0
+              THEN n_alpha_words::DOUBLE / n_words ELSE 0.0 END AS alpha,
+         n_bullet::DOUBLE / n_lines AS bullet,
+         n_ellipsis::DOUBLE / n_lines AS ell
+  FROM la
+)
+SELECT doc_id, n_words, n_lines, req_words,
+       round(mean_wl, 6) AS mean_word_len_r,
+       round(sym, 6) AS symbol_ratio_r,
+       round(bullet, 6) AS bullet_frac_r,
+       round(ell, 6) AS ellipsis_frac_r,
+       round(alpha, 6) AS alpha_word_frac_r,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+        AND alpha >= 0.8 AND req_words >= 2) AS keep
+FROM ratios""",
+        # same split/top-n CTE as top_terms (n=1000), then the
+        # population OLS fit over (ln rank, ln count)
+        "zipf_slope": """
+WITH tk AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w AS term, count(*)::BIGINT AS n FROM tk GROUP BY w),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(n::DOUBLE), ln(rank::DOUBLE)), 6) AS slope_r,
+       round(regr_intercept(ln(n::DOUBLE), ln(rank::DOUBLE)), 6) AS intercept_r
+FROM r WHERE rank <= 1000""",
         "unigram_surprisal": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),

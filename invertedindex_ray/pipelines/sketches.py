@@ -363,3 +363,45 @@ def bloom_membership(sf_dir: str, *, m: int = 1 << 20, k: int = 7):
             "all_members": pa.array([int(n_member == n)], type=pa.int64()),
         }
     )
+
+
+def zipf_slope(sf_dir: str, n: int = 1000):
+    """(n_terms, slope_r, intercept_r): one-row corpus-health
+    diagnostic — the OLS fit of ln(count) on ln(rank) over the top-n
+    term frequencies. Natural text follows Zipf's law with slope near
+    -1; a slope drifting toward 0 flags boilerplate/duplication and a
+    steep slope flags a degenerate vocabulary, so data-mixing jobs
+    watch this number per source/snapshot.
+
+    Scale shape: rides :func:`top_terms` (per-batch partial counts, one
+    vocabulary-hash-partitioned reduction, bounded per-block top-n) —
+    only n rows ever reach the driver; the regression itself is O(n)
+    numpy. slope = cov(x,y)/var(x) with x=ln(rank), y=ln(count),
+    matching DuckDB's regr_slope/regr_intercept population formulas."""
+    t = top_terms(sf_dir, n=n)
+    cnt = t["n_occurrences"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    if len(cnt) >= 2:
+        x = np.log(rank)
+        y = np.log(cnt)
+        mx = x.mean()
+        my = y.mean()
+        var = (x * x).mean() - mx * mx
+        slope = ((x * y).mean() - mx * my) / var
+        intercept = my - slope * mx
+    else:
+        slope = 0.0
+        intercept = float(np.log(cnt[0])) if len(cnt) else 0.0
+    return pa.table(
+        {
+            "n_terms": pa.array([len(cnt)], type=pa.int64()),
+            "slope_r": pa.array(
+                round_half_up(np.array([slope]), 6), type=pa.float64()
+            ),
+            "intercept_r": pa.array(
+                round_half_up(np.array([intercept]), 6), type=pa.float64()
+            ),
+        }
+    )

@@ -1585,3 +1585,156 @@ def top_terms_by_source(sf_dir: str, *, k: int = 10):
         topk,
         out_schema,
     )
+
+
+# ------------------------------------------------------------- gopher rules
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), table A1:
+# the document must contain >= 2 of these common English words.
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch kernel behind :func:`gopher_quality` — all seven Gopher
+    repetition-free rule signals in one vectorized pass (words via one
+    whitespace-run split, lines via one newline split, per-doc segment
+    sums via ``np.add.reduceat``)."""
+    import pyarrow.compute as pc
+
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    text = batch["text"]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    text = pc.coalesce(text, "")
+    n_docs = len(text)
+
+    def seg_sum(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        # per-doc sums over a flattened list array; the appended 0
+        # sentinel + empty-segment zeroing handles reduceat's
+        # wrap-on-equal-offsets quirk (same shape as _quality_batch)
+        if mask.size == 0:
+            return np.zeros(n_docs, dtype=np.int64)
+        out = np.add.reduceat(
+            np.concatenate((mask.astype(np.int64), [0])), offs[:-1]
+        )
+        out[offs[:-1] == offs[1:]] = 0
+        return out
+
+    # ---- words: split on ASCII-whitespace runs (RE2 \s), drop empties
+    ws = pc.split_pattern_regex(text, r"\s+")
+    ws = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    flat_w = ws.values
+    w_offs = ws.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat_w, "").to_numpy(zero_copy_only=False)
+    wlen = pc.utf8_length(flat_w).to_numpy(zero_copy_only=False).astype(np.int64)
+    has_alpha = pc.match_substring_regex(flat_w, "[a-zA-Z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_words = seg_sum(nonempty, w_offs)
+    sum_wlen = seg_sum(np.where(nonempty, wlen, 0), w_offs)
+    n_alpha_words = seg_sum(nonempty & has_alpha, w_offs)
+
+    # required-word hits: DISTINCT membership — one per-doc any() per
+    # marker word (8 tiny vector ops, not a per-row loop)
+    low_w = pc.utf8_lower(flat_w)
+    req_words = np.zeros(n_docs, dtype=np.int64)
+    for req in _GOPHER_REQUIRED:
+        hit = pc.equal(low_w, req).to_numpy(zero_copy_only=False)
+        req_words += (seg_sum(hit, w_offs) > 0).astype(np.int64)
+
+    # ---- symbols: '#' chars + non-overlapping '...' runs (Arrow
+    # count_substring scans left-to-right non-overlapping, identical to
+    # the SQL replace()-length mirror)
+    n_sym = (
+        pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(text, "...")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    # ---- lines: newline split ('' has one line — matches string_split)
+    ls = pc.split_pattern(text, "\n")
+    ls = ls.combine_chunks() if isinstance(ls, pa.ChunkedArray) else ls
+    flat_l = ls.values
+    l_offs = ls.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = np.diff(l_offs)
+    bullet = pc.match_substring_regex(flat_l, r"^\s*[-*•]").to_numpy(
+        zero_copy_only=False
+    )
+    ell_end = pc.match_substring_regex(flat_l, r"(\.\.\.|…)\s*$").to_numpy(
+        zero_copy_only=False
+    )
+    n_bullet = seg_sum(bullet, l_offs)
+    n_ell = seg_sum(ell_end, l_offs)
+
+    # ---- ratios: keep uses the UNROUNDED float64 values so the SQL
+    # mirror's comparisons are bit-identical IEEE ops
+    nw = np.maximum(n_words, 1).astype(np.float64)
+    nl = np.maximum(n_lines, 1).astype(np.float64)
+    mean_wl = np.where(n_words > 0, sum_wlen / nw, 0.0)
+    sym_ratio = np.where(n_words > 0, n_sym / nw, 0.0)
+    alpha_frac = np.where(n_words > 0, n_alpha_words / nw, 0.0)
+    bullet_frac = n_bullet / nl
+    ell_frac = n_ell / nl
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (req_words >= 2)
+    )
+
+    doc_id = batch["doc_id"]
+    doc_id = (
+        doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_lines": pa.array(n_lines.astype(np.int64), type=pa.int64()),
+            "req_words": pa.array(req_words, type=pa.int64()),
+            "mean_word_len_r": pa.array(
+                round_half_up(mean_wl, 6), type=pa.float64()
+            ),
+            "symbol_ratio_r": pa.array(
+                round_half_up(sym_ratio, 6), type=pa.float64()
+            ),
+            "bullet_frac_r": pa.array(
+                round_half_up(bullet_frac, 6), type=pa.float64()
+            ),
+            "ellipsis_frac_r": pa.array(
+                round_half_up(ell_frac, 6), type=pa.float64()
+            ),
+            "alpha_word_frac_r": pa.array(
+                round_half_up(alpha_frac, 6), type=pa.float64()
+            ),
+            "keep": pa.array(keep, type=pa.bool_()),
+        }
+    )
+
+
+def gopher_quality(sf_dir: str):
+    """(doc_id, n_words, n_lines, req_words, mean_word_len_r,
+    symbol_ratio_r, bullet_frac_r, ellipsis_frac_r, alpha_word_frac_r,
+    keep): the Gopher quality rules (Rae et al. 2021, appendix A1.1) as
+    per-doc signals plus the conjunctive keep flag —
+
+    - 50 <= word count <= 100 000 (words = nonempty ``\\s+`` splits);
+    - 3 <= mean word length <= 10 (codepoints);
+    - symbol-to-word ratio <= 0.1 (``#`` chars + non-overlapping
+      ``...`` occurrences);
+    - <= 90% of lines start with a bullet (``-``, ``*``, ``•``);
+    - <= 30% of lines end with an ellipsis (``...`` or ``…``);
+    - >= 80% of words contain an alphabetic character;
+    - >= 2 distinct words from the required-word list present.
+
+    Zero shuffle: one vectorized map_batches pass, three Arrow splits
+    per batch, per-doc segment sums via reduceat. At 100 TB this is the
+    cheapest class of operator in the repo — embarrassingly parallel,
+    output rows 1:1 with input docs, no state."""
+    return _read_docs(sf_dir).map_batches(_gopher_batch, batch_format="pyarrow")

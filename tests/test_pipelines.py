@@ -1993,3 +1993,138 @@ class TestPrefixTerms:
                 assert int(got.loc[t, "df"]) == int(
                     lex.set_index("term").loc[t, "df"])
         assert (df.q != "zzzq").all()
+
+
+class TestGopherQuality:
+    def test_rule_paths(self, tmp_path):
+        """Each Gopher rule trips on exactly the crafted doc built to
+        trip it; the all-clean doc keeps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import gopher_quality
+
+        good = (
+            "The results of that study have been reviewed with care and "
+            "attention to detail. " * 5
+        ).strip()  # 70 words, all rules pass
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "text": [
+                    good,
+                    "too few words of that, have with the be to and",  # < 50 words
+                    good + " " + "#" * 1 + " #" * 20,  # symbol ratio > 0.1
+                    good + "\n" + "\n".join("- bullet item here" for _ in range(60))
+                    + "\n" + good,  # bullet lines > 0.9? no — mixed; see below
+                    good + "\n" + "\n".join(
+                        "so the story continues..." for _ in range(30)
+                    ),  # ellipsis-ended lines > 0.3
+                    ("1234 5678 " * 30).strip()
+                    + " the be to of and that have with",  # alpha frac < 0.8
+                    ("lorem dolor sit amet consectetur " * 14).strip(),  # req < 2
+                    "",  # empty
+                ],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        df = _pdf(gopher_quality(str(tmp_path))).set_index("doc_id").sort_index()
+
+        assert bool(df.loc[1, "keep"])
+        assert 50 <= df.loc[1, "n_words"] <= 100_000
+        assert df.loc[1, "req_words"] >= 2
+
+        assert not bool(df.loc[2, "keep"]) and df.loc[2, "n_words"] < 50
+        assert not bool(df.loc[3, "keep"]) and df.loc[3, "symbol_ratio_r"] > 0.1
+        # doc 4: 60 bullet lines of 62 total -> frac > 0.9
+        assert df.loc[4, "n_lines"] == 62
+        assert not bool(df.loc[4, "keep"]) and df.loc[4, "bullet_frac_r"] > 0.9
+        assert not bool(df.loc[5, "keep"]) and df.loc[5, "ellipsis_frac_r"] > 0.3
+        assert not bool(df.loc[6, "keep"]) and df.loc[6, "alpha_word_frac_r"] < 0.8
+        assert not bool(df.loc[7, "keep"]) and df.loc[7, "req_words"] < 2
+        assert not bool(df.loc[8, "keep"]) and df.loc[8, "n_words"] == 0
+        assert df.loc[8, "n_lines"] == 1  # '' splits to one empty line
+
+    def test_signal_recompute(self):
+        """Signals recompute per doc in plain Python over the synthetic
+        corpus head (mean word len, symbol ratio, required words)."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import (
+            _GOPHER_REQUIRED,
+            gopher_quality,
+        )
+
+        df = _pdf(gopher_quality(SF)).set_index("doc_id")
+        texts = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().set_index("doc_id")["text"]
+        for doc_id in list(texts.index)[:40]:
+            t = texts.loc[doc_id] or ""
+            words = [w for w in re.split(r"\s+", t) if w]
+            row = df.loc[doc_id]
+            assert row["n_words"] == len(words)
+            if words:
+                assert abs(
+                    row["mean_word_len_r"]
+                    - sum(len(w) for w in words) / len(words)
+                ) < 1e-6
+                n_sym = t.count("#") + t.count("...")
+                assert abs(row["symbol_ratio_r"] - n_sym / len(words)) < 1e-6
+                low = {w.lower() for w in words}
+                assert row["req_words"] == sum(r in low for r in _GOPHER_REQUIRED)
+
+
+class TestZipfSlope:
+    def test_recompute(self):
+        """Slope/intercept recompute from a Counter over the corpus with
+        the same tie order (count desc, term asc)."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import zipf_slope
+
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+            "text"
+        ].to_pylist()
+        cnt = Counter()
+        for t in texts:
+            cnt.update(w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w)
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+        y = np.log([c for _, c in top])
+        x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+        slope = ((x * y).mean() - x.mean() * y.mean()) / (
+            (x * x).mean() - x.mean() ** 2
+        )
+        intercept = y.mean() - slope * x.mean()
+
+        got = _pdf(zipf_slope(SF, n=1000))
+        assert len(got) == 1
+        assert int(got.loc[0, "n_terms"]) == len(top)
+        assert abs(got.loc[0, "slope_r"] - slope) < 1e-6
+        assert abs(got.loc[0, "intercept_r"] - intercept) < 1e-6
+        # sanity: rank-frequency slope is strictly negative (the
+        # synthetic corpus is much flatter than natural text's ~ -1)
+        assert got.loc[0, "slope_r"] < 0.0
+
+    def test_degenerate_small(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import zipf_slope
+
+        docs = pa.table({"doc_id": [1], "text": ["aaa aaa bbb"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(zipf_slope(str(tmp_path), n=1000))
+        # terms: aaa (2), bbb (1) -> ranks 1, 2
+        x = np.log([1.0, 2.0])
+        y = np.log([2.0, 1.0])
+        slope = ((x * y).mean() - x.mean() * y.mean()) / (
+            (x * x).mean() - x.mean() ** 2
+        )
+        assert int(got.loc[0, "n_terms"]) == 2
+        assert abs(got.loc[0, "slope_r"] - slope) < 1e-6
