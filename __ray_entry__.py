@@ -164,6 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
+        # --- Dirichlet query-likelihood retrieval (Zhai & Lafferty,
+        #     SIGIR 2001): the second classic scoring model over the
+        #     same postings spine; inherently disjunctive ---
+        "topk_lm": lambda sf: __import__(
+            "invertedindex_ray.pipelines.batch_query", fromlist=["x"]
+        ).batch_topk_lm(sf, DRIVER_QUERY_SET, k=_K),
         # --- full engine: stemmed index + MaxScore DAAT (rows-only; no
         #     SQL stemmer exists) ---
         "topk_daat": lambda sf: _daat_results_table(sf).to_pandas(),
@@ -542,6 +548,59 @@ ranked AS (
   SELECT qid, doc_id, score_r,
          row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
   FROM eligible
+)
+SELECT qid, doc_id, score_r, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+    )
+
+
+def _topk_lm_sql(mu: float = 2000.0) -> str:
+    """Mirror of batch_query.batch_topk_lm: Dirichlet query-likelihood
+    over matched postings — ln(1 + tf*C/(mu*cf)) summed per (qid, doc)
+    plus the n_q * ln(mu/(dl+mu)) length normalizer; OOV query terms
+    drop (their collection MLE is 0); AND/OR tags ignored (QL is
+    disjunctive). Float shapes match the numpy kernel op for op."""
+    from invertedindex_ray.pipelines.analytics import NOSTEM
+    from invertedindex_ray.pipelines.batch_query import parse_queries
+
+    parsed = parse_queries(DRIVER_QUERY_SET, NOSTEM)
+    rows = []
+    for qid, _, terms in parsed:
+        for t in sorted(terms):
+            rows.append(f"('{qid}', '{t}')")
+    qterms = ", ".join(rows)
+    return _base(
+        f""",
+ctot AS (SELECT sum(doc_len)::DOUBLE AS c FROM docstats),
+qterms(qid, term) AS (VALUES {qterms}),
+tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term),
+nq AS (
+  SELECT qid, count(*)::BIGINT AS n_q
+  FROM qterms WHERE term IN (SELECT term FROM cf) GROUP BY qid
+),
+persc AS (
+  SELECT t.term, t.doc_id,
+         ln(1 + t.tf::DOUBLE * ct.c / ({mu} * f.cf)) AS part
+  FROM tfs t JOIN cf f USING (term) CROSS JOIN ctot ct
+),
+qs AS (
+  SELECT q.qid, p.doc_id, sum(p.part) AS s
+  FROM qterms q JOIN persc p ON p.term = q.term
+  GROUP BY q.qid, p.doc_id
+),
+scored AS (
+  SELECT s.qid, s.doc_id,
+         round(s.s + n.n_q * ln({mu} / (d.doc_len + {mu})), 9) AS score_r
+  FROM qs s JOIN nq n USING (qid) JOIN docstats d USING (doc_id)
+),
+ranked AS (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
+  FROM scored
 )
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
@@ -1533,6 +1592,7 @@ SELECT t.term, t.doc_id,
 FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
+        "topk_lm": _topk_lm_sql(),
         "rm3_search": _rm3_sql(),
         "dup_ngram_spans": _dup_spans_sql(),
         "more_like_this": _mlt_sql(),

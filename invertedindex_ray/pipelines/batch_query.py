@@ -252,3 +252,175 @@ def batch_topk(
          "score_r": pa.array([], type=pa.float64()),
          "rank": pa.array([], type=pa.int64())}
     )
+
+
+def batch_topk_lm(
+    sf_dir: str,
+    queries: list[tuple[str, str]] | None,
+    k: int = 20,
+    mu: float = 2000.0,
+    cfg: IndexConfig = NOSTEM,
+) -> pa.Table:
+    """(qid, doc_id, score_r, rank): Dirichlet-smoothed query-likelihood
+    retrieval (Zhai & Lafferty, SIGIR 2001) — the second classic scoring
+    model next to BM25, over the same postings spine as
+    :func:`batch_topk`.
+
+    Rank-equivalent decomposition computed over MATCHED postings only::
+
+        score(q, d) = sum_{t in q, tf>0} ln(1 + tf * C / (mu * cf_t))
+                      + n_q * ln(mu / (dl_d + mu))
+
+    where C = total corpus tokens, cf_t = collection frequency and n_q =
+    the query's in-vocabulary distinct term count (the per-query constant
+    ``sum ln(mu * cf_t / C)`` is dropped — rank-invariant). QL is
+    inherently disjunctive, so the query set's AND/OR tag is ignored;
+    out-of-vocabulary terms drop (standard practice — their MLE
+    collection probability is 0).
+
+    Scale shape: identical to batch_topk — one tokenize pass, postings
+    semi-joined on the broadcast query-term set, cf via a tiny
+    per-query-term aggregate, per-(qid, doc) partial sums through one
+    slim keyed reduction; doc_len rides the posting rows so no doc-table
+    join is needed. Scores round to 9 dp; ties break by ascending
+    doc_id."""
+    import pandas as pd
+
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    parsed = parse_queries(queries, cfg)
+    all_terms = sorted(set().union(*[t for _, _, t in parsed]) if parsed else set())
+    empty = pa.table(
+        {"qid": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "score_r": pa.array([], type=pa.float64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if not all_terms:
+        return empty
+
+    tok = _tokenized(sf_dir, cfg).materialize()
+    stats = collection_stats_from(tok)
+    c_total = float(stats["total_tokens"][0].as_py())
+    term_set = frozenset(all_terms)
+
+    def matching_postings(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _explode_batch(batch)
+        mask = pc.is_in(
+            t["term"], value_set=pa.array(sorted(term_set), type=pa.string())
+        )
+        return t.filter(mask)
+
+    post = tok.map_batches(matching_postings, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Sum
+
+    cf_tbl = post.groupby("term").aggregate(Sum("tf", alias_name="cf"))
+    cf_map = {r["term"]: int(r["cf"]) for r in cf_tbl.take_all()}
+    if not cf_map:
+        return empty
+
+    # per-query in-vocab distinct term counts (the dl-term multiplier)
+    nq_map: dict[str, int] = {}
+    term_to_queries: dict[str, list[str]] = {}
+    for qid, _qtype, terms in parsed:
+        present = [t for t in terms if t in cf_map]
+        if not present:
+            continue
+        nq_map[qid] = len(present)
+        for t in present:
+            term_to_queries.setdefault(t, []).append(qid)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = np.fromiter(
+            (cf_map[t] for t in terms), dtype=np.float64, count=len(terms)
+        )
+        # ln(1 + x) NOT log1p: the SQL mirror computes ln(1 + tf*C/(mu*cf))
+        part = np.log(1.0 + tf * c_total / (mu * cf))
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        qids, d_out, s_out, dl_out = [], [], [], []
+        for i, t in enumerate(terms):
+            for qid in term_to_queries.get(t, ()):
+                qids.append(qid)
+                d_out.append(doc_id[i])
+                s_out.append(part[i])
+                dl_out.append(dl[i])
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.string()),
+                "doc_id": pa.array(
+                    np.asarray(d_out, dtype=np.int64), type=pa.int64()
+                ),
+                "score": pa.array(
+                    np.asarray(s_out, dtype=np.float64), type=pa.float64()
+                ),
+                "doc_len": pa.array(
+                    np.asarray(dl_out, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    per_doc_schema = pa.schema(
+        [("qid", pa.string()), ("doc_id", pa.int64()),
+         ("score", pa.float64()), ("doc_len", pa.int64())]
+    )
+
+    def sum_per_qdoc(g):
+        # same deterministic (qid, doc, score)-ordered reduceat merge as
+        # batch_topk; doc_len is constant per doc so first-of-group is it
+        q = g["qid"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["score"].to_numpy()
+        dl = g["doc_len"].to_numpy()
+        qc, quniq = pd.factorize(q, sort=False)
+        order = np.lexsort((s, d, qc))
+        qc, d, s, dl = qc[order], d[order], s[order], dl[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d):
+            first[1:] = (qc[1:] != qc[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(s, starts) if len(s) else np.empty(0)
+        return pd.DataFrame(
+            {
+                "qid": quniq[qc[starts]],
+                "doc_id": d[starts].astype(np.int64),
+                "score": sums,
+                "doc_len": dl[starts].astype(np.int64),
+            }
+        )
+
+    per_doc = _grouped_partitions(
+        post.map_batches(score_rows, batch_format="pyarrow"),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_per_qdoc,
+        per_doc_schema,
+    )
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["qid"].iloc[0]
+        n_q = float(nq_map.get(qid, 0))
+        dl = g["doc_len"].to_numpy().astype(np.float64)
+        full = g["score"].to_numpy() + n_q * np.log(mu / (dl + mu))
+        g = g.assign(score_r=round_half_up(full, 9))
+        g = g.sort_values(["score_r", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "doc_id", "score_r", "rank"]]
+
+    out = per_doc.groupby("qid").map_groups(topk_group, batch_format="pandas")
+    res = out.to_pandas()
+    if not len(res):
+        return empty
+    res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        res.astype(
+            {"qid": str, "doc_id": np.int64, "score_r": np.float64,
+             "rank": np.int64}
+        ),
+        preserve_index=False,
+    )

@@ -2128,3 +2128,94 @@ class TestZipfSlope:
         )
         assert int(got.loc[0, "n_terms"]) == 2
         assert abs(got.loc[0, "slope_r"] - slope) < 1e-6
+
+
+class TestLMDirichlet:
+    def test_recompute(self):
+        """Dirichlet QL scores recompute in plain Python (Counter + math)
+        over sf0.001; ranks and 9-dp scores match exactly."""
+        import math
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions.textproc import preprocess_token
+        from invertedindex_ray.pipelines.batch_query import batch_topk_lm
+
+        mu, k = 2000.0, 10
+        qset = [("q1", "or data query join"), ("q2", "or table scan zzznope")]
+        got = _pdf(batch_topk_lm(SF, qset, k=k, mu=mu))
+
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        docs = {}
+        for doc_id, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()):
+            toks = [
+                p
+                for w in re.split(r"[^a-z0-9]+", (t or "").lower())
+                if w
+                and (p := preprocess_token(w, stemming=False,
+                                           stopword_removal=True))
+            ]
+            if toks:
+                docs[doc_id] = Counter(toks)
+        cf = Counter()
+        for c in docs.values():
+            cf.update(c)
+        c_total = float(sum(cf.values()))
+
+        for qid, qtext in qset:
+            terms = sorted({w for w in qtext.split()[1:] if cf.get(w)})
+            n_q = len(terms)
+            scores = {}
+            for d, tfm in docs.items():
+                part = 0.0
+                hit = False
+                # ascending-score add order matches the pipeline's
+                # lexsorted reduceat merge
+                parts = sorted(
+                    math.log(1.0 + tfm[t] * c_total / (mu * cf[t]))
+                    for t in terms if tfm.get(t)
+                )
+                if parts:
+                    hit = True
+                    for p in parts:
+                        part += p
+                if hit:
+                    dl = float(sum(tfm.values()))
+                    scores[d] = round(
+                        part + n_q * math.log(mu / (dl + mu)), 9
+                    )
+            want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            sub = got[got.qid == qid].sort_values("rank")
+            assert list(sub["doc_id"]) == [d for d, _ in want], qid
+            for (_, s), (_, row) in zip(want, sub.iterrows()):
+                assert abs(row["score_r"] - s) < 2e-9, (qid, row["doc_id"])
+
+    def test_oov_and_empty(self, tmp_path):
+        """All-OOV query returns nothing; longer docs rank lower for
+        equal tf (the Dirichlet length normalizer)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.batch_query import batch_topk_lm
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["apple banana", "apple banana cherry cherry cherry"],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(
+            batch_topk_lm(
+                str(tmp_path),
+                [("q1", "or apple"), ("q2", "or zzznope qqnope")],
+                k=5,
+            )
+        )
+        assert (got.qid != "q2").all()
+        sub = got[got.qid == "q1"].sort_values("rank")
+        # same tf=1 for 'apple'; doc 1 is shorter -> higher QL score
+        assert list(sub["doc_id"]) == [1, 2]
+        assert sub["score_r"].iloc[0] > sub["score_r"].iloc[1]
