@@ -336,6 +336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sample": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).value_quantile_sample(sf),
+        # --- strict-sequence funnel + retention triangle (product
+        #     analytics over the events table) ---
+        "funnel_counts": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).funnel_counts(sf),
+        "retention_cohorts": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).retention_cohorts(sf),
         "json_props": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).json_props(sf),
@@ -2024,6 +2032,39 @@ SELECT event_type, 0.95::DOUBLE, q95, n_sample FROM agg
 UNION ALL
 SELECT event_type, 0.99::DOUBLE, q99, n_sample FROM agg
 """,
+        # strict-sequence funnel: step i's first-reach must be strictly
+        # after step i-1's (first-reach chaining)
+        "funnel_counts": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+        "retention_cohorts": """
+WITH fd AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+),
+ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+SELECT f.cohort_day::TIMESTAMP AS cohort_day,
+       date_diff('day', f.cohort_day, u.d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM ud u JOIN fd f USING (user_id)
+GROUP BY 1, 2""",
         "json_props": (
             "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"
         ),

@@ -451,3 +451,249 @@ def value_quantile_sample(
         finish,
         out_schema,
     )
+
+
+# ------------------------------------------------------------ funnel
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """(step, step_name, n_users): strict-sequence funnel — how many
+    users reached each step, where step i counts users with an event of
+    type ``steps[i]`` STRICTLY AFTER their first-reach time of step
+    i-1 (first-reach chaining, the standard product-analytics funnel).
+
+    Scale shape: rows slim to (user_id, step_idx, ts) at the read and
+    only step-typed events survive the batch filter; one user-hash
+    keyed reduction computes every user's chained first-reach times
+    vectorized (lexsort + min-reduceat per step — no per-user Python
+    loop), emitting one (step, n_p) partial row per partition; the
+    final sum over <= n_partitions * n_steps rows happens on the
+    driver. No broadcast, no whale-key exposure (a user's funnel state
+    is O(n_steps))."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+
+    step_list = [str(s) for s in steps]
+    n_steps = len(step_list)
+    if n_steps == 0:
+        return pa.table(
+            {"step": pa.array([], type=pa.int64()),
+             "step_name": pa.array([], type=pa.string()),
+             "n_users": pa.array([], type=pa.int64())}
+        )
+    idx_of = {s: i for i, s in enumerate(step_list)}
+
+    slim_schema = pa.schema(
+        [("user_id", pa.int64()), ("step_idx", pa.int64()), ("ts", pa.int64())]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return slim_schema.empty_table()
+        et = batch["event_type"].to_pylist()
+        sidx = np.fromiter(
+            (idx_of.get(t, -1) for t in et), dtype=np.int64, count=len(et)
+        )
+        keep = sidx >= 0
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False).view("int64")
+        )  # microseconds since epoch
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "step_idx": pa.array(sidx[keep], type=pa.int64()),
+                "ts": pa.array(ts[keep], type=pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema([("step", pa.int64()), ("n_p", pa.int64())])
+
+    def per_user_chain(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        sidx = g["step_idx"].to_numpy()
+        ts = g["ts"].to_numpy()
+        users = np.unique(uid)
+        pos = {u: i for i, u in enumerate(users)}
+        uix = np.fromiter((pos[u] for u in uid), dtype=np.int64, count=len(uid))
+        # reach[i] = first-reach micros of the current step per user
+        reach = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
+        counts = np.zeros(n_steps, dtype=np.int64)
+        alive = np.zeros(len(users), dtype=bool)
+        for i in range(n_steps):
+            m = sidx == i
+            if i == 0:
+                cand = m
+                floor = np.full(len(uid), np.iinfo(np.int64).min, dtype=np.int64)
+            else:
+                floor = reach[uix]
+                cand = m & alive[uix] & (ts > floor)
+            nxt = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+            if cand.any():
+                np.minimum.at(nxt, uix[cand], ts[cand])
+            got = nxt < np.iinfo(np.int64).max
+            alive = got
+            reach = nxt
+            counts[i] = int(got.sum())
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, n_steps + 1, dtype=np.int64),
+                "n_p": counts,
+            }
+        )
+
+    parts = grouped_partitions(
+        _events(sf_dir, ["user_id", "event_type", "ts"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        per_user_chain,
+        part_schema,
+    )
+    # <= 32 partitions x n_steps rows: a bounded driver-side sum
+    agg = np.zeros(n_steps, dtype=np.int64)
+    for r in parts.take_all():
+        agg[int(r["step"]) - 1] += int(r["n_p"])
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64)),
+            "step_name": pa.array(step_list, type=pa.string()),
+            "n_users": pa.array(agg, type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------- retention
+
+
+def retention_cohorts(sf_dir: str):
+    """(cohort_day, day_offset, n_users): classic retention triangle —
+    users grouped by their first-activity calendar day (UTC), counted
+    once per distinct (user, active day) at each day offset from the
+    cohort day.
+
+    Scale shape: two keyed reductions, both on slim rows. Reduction 1
+    (user-hash): a user's rows colocate, so the partition computes the
+    user's cohort day AND distinct active days together, emitting exact
+    per-partition (cohort_day, day_offset, n_p) partials (each user
+    lives in exactly one partition, so partials add). Reduction 2
+    ((cohort, offset)-hash): sums the <= n_partitions copies of each
+    key. Output cardinality is O(#days^2), never O(users)."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+
+    US_PER_DAY = 86_400_000_000
+
+    slim_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return slim_schema.empty_table()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = batch["ts"].to_numpy(zero_copy_only=False).view("int64") // US_PER_DAY
+        # per-batch (user, day) pre-dedupe: shrinks the shuffle to at
+        # most one row per user-day per batch
+        key = np.stack([uid, day], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0], type=pa.int64()),
+                "day": pa.array(uniq[:, 1], type=pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("cohort", pa.int64()), ("day_offset", pa.int64()), ("n_p", pa.int64())]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        first = np.ones(len(uid), dtype=bool)
+        if len(uid):
+            first[1:] = uid[1:] != uid[:-1]
+        # drop duplicate (user, day) rows surviving across batches
+        dup = np.zeros(len(uid), dtype=bool)
+        if len(uid):
+            dup[1:] = (uid[1:] == uid[:-1]) & (day[1:] == day[:-1])
+        uid, day, first = uid[~dup], day[~dup], first[~dup]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(uid)))
+        cohort = np.repeat(day[starts], lens)
+        off = day - cohort
+        key = np.stack([cohort, off], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort": uniq[:, 0].astype(np.int64),
+                "day_offset": uniq[:, 1].astype(np.int64),
+                "n_p": cnt.astype(np.int64),
+            }
+        )
+
+    parts = grouped_partitions(
+        _events(sf_dir, ["user_id", "ts"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        per_user,
+        part_schema,
+    )
+
+    def sum_key(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cohort"].to_numpy()
+        o = g["day_offset"].to_numpy()
+        n = g["n_p"].to_numpy()
+        key = np.stack([c, o], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cohort_day": uniq[:, 0].astype(np.int64),
+                "day_offset": uniq[:, 1].astype(np.int64),
+                "n_users": tot,
+            }
+        )
+
+    mid_schema = pa.schema(
+        [
+            ("cohort_day", pa.int64()),
+            ("day_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+    summed = grouped_partitions(
+        parts,
+        lambda b: (
+            b["cohort"].to_numpy(zero_copy_only=False).astype(np.uint64) * 31
+            + b["day_offset"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        & np.uint64(31),
+        sum_key,
+        mid_schema,
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        # midnight-UTC timestamp (the windows ops' convention — DATE
+        # round-trips as object dtype, timestamp[us] stays comparable)
+        days = batch["cohort_day"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    days * US_PER_DAY, type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "day_offset": batch["day_offset"],
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return summed.map_batches(to_ts, batch_format="pyarrow")

@@ -2219,3 +2219,88 @@ class TestLMDirichlet:
         # same tf=1 for 'apple'; doc 1 is shorter -> higher QL score
         assert list(sub["doc_id"]) == [1, 2]
         assert sub["score_r"].iloc[0] > sub["score_r"].iloc[1]
+
+
+class TestFunnelRetention:
+    def _write_events(self, tmp_path, rows):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": list(range(1, len(rows) + 1)),
+                "ts": pa.array(
+                    [base + dt.timedelta(hours=h) for _, _, h in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _, _ in rows], type=pa.int64()),
+                "event_type": pa.array([e for _, e, _ in rows], type=pa.string()),
+                "value": pa.array([0.0] * len(rows), type=pa.float64()),
+                "props": pa.array(["{}"] * len(rows), type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    def test_funnel_strict_order(self, tmp_path):
+        """Step events BEFORE the previous step's first-reach don't
+        count; each user advances at most once per step."""
+        from invertedindex_ray.pipelines.relational import funnel_counts
+
+        rows = [
+            # user 1: full ordered funnel
+            (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+            # user 2: only click precedes the first view (view h=1,
+            # click h=0), so the purchase can't chain -> stuck at 'view'
+            (2, "click", 0), (2, "view", 1), (2, "purchase", 2),
+            # user 3: view then click, no purchase
+            (3, "view", 0), (3, "click", 5),
+            # user 4: never views
+            (4, "click", 0), (4, "purchase", 1),
+            # user 5: simultaneous-ish but strictly increasing hours
+            (5, "view", 1), (5, "click", 1),  # same ts: NOT strictly after
+        ]
+        self._write_events(tmp_path, rows)
+        got = _pdf(funnel_counts(str(tmp_path))).set_index("step")
+        # step 1 (view): users 1,2,3,5
+        assert got.loc[1, "n_users"] == 4
+        # step 2 (click after first view): users 1,3 (user 5's click ties)
+        assert got.loc[2, "n_users"] == 2
+        # step 3 (purchase after that click): user 1 only
+        assert got.loc[3, "n_users"] == 1
+        assert list(got["step_name"]) == ["view", "click", "purchase"]
+
+    def test_retention_recompute(self):
+        """Retention triangle recomputes in plain Python over sf0.001."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import retention_cohorts
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "ts"]
+        )
+        uid = t["user_id"].to_numpy()
+        day = t["ts"].to_numpy().view("int64") // 86_400_000_000
+        first = {}
+        active = set()
+        for u, d in zip(uid, day):
+            first[u] = min(first.get(u, d), d)
+            active.add((u, d))
+        want = {}
+        for u, d in active:
+            key = (first[u], d - first[u])
+            want[key] = want.get(key, 0) + 1
+
+        got = _pdf(retention_cohorts(SF))
+        gday = got["cohort_day"].to_numpy().view("int64") // 86_400_000_000
+        assert len(got) == len(want)
+        for cd, off, n in zip(gday, got["day_offset"], got["n_users"]):
+            assert want[(cd, off)] == n
+        # offset 0 rows exist for every cohort and count the cohort size
+        coh_sizes = {}
+        for u, f in first.items():
+            coh_sizes[f] = coh_sizes.get(f, 0) + 1
+        for cd, size in coh_sizes.items():
+            assert want[(cd, 0)] == size
