@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- per-source unigram-KL domain-shift diagnostic ---
         "source_kl": lambda sf: textstats.source_kl(sf),
         "top_terms_by_source": lambda sf: textstats.top_terms_by_source(sf),
+        # --- pairwise source vocabulary Jaccard (bitmask reduction) ---
+        "source_jaccard": lambda sf: textstats.source_jaccard(sf),
         # --- per-doc unigram Shannon entropy (lexical diversity) ---
         "token_entropy": lambda sf: textstats.token_entropy(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
@@ -1794,6 +1796,25 @@ SELECT d.doc_id,
        round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
 FROM dw d JOIN n USING (doc_id)
 GROUP BY d.doc_id, n.n""",
+        "source_jaccard": """
+WITH st AS (
+  SELECT DISTINCT source, w AS term FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents
+  )
+),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_both
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+       round(p.n_both::DOUBLE / (sa.n + sb.n - p.n_both), 6) AS jaccard_r
+FROM pr p
+JOIN sz sa ON sa.source = p.source_a
+JOIN sz sb ON sb.source = p.source_b""",
         # Gopher rules: word aggregates from one \s+ split (empties
         # dropped), line aggregates from one newline split, symbol
         # counts via replace()-length (non-overlapping, same as Arrow

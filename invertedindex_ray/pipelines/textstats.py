@@ -1738,3 +1738,147 @@ def gopher_quality(sf_dir: str):
     cheapest class of operator in the repo — embarrassingly parallel,
     output rows 1:1 with input docs, no state."""
     return _read_docs(sf_dir).map_batches(_gopher_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- source vocab overlap
+
+#: Pairwise source similarity assumes a bounded source taxonomy (a
+#: per-term uint64 bitmask). More than 63 sources is a different
+#: problem (use minhash over per-source vocabularies instead).
+MAX_JACCARD_SOURCES = 63
+
+
+def source_jaccard(sf_dir: str):
+    """(source_a, source_b, n_a, n_b, n_both, jaccard_r): pairwise
+    vocabulary Jaccard between sources — ``|V_a ∩ V_b| / |V_a ∪ V_b|``
+    over distinct lowered ``[^a-z0-9]+``-split terms (the top_terms
+    convention). The data-mixing diagnostic for "which sources are
+    lexically interchangeable"; pairs with an empty intersection are
+    omitted (mirrors the SQL inner join).
+
+    Distributed shape — the vocabulary NEVER leaves the cluster:
+    1. per-batch distinct (source, term) rows;
+    2. ONE term-hash keyed reduction: all of a term's rows colocate, so
+       the partition ORs the term's sources into a uint64 bitmask
+       (``np.bitwise_or.reduceat``), then collapses to per-MASK counts
+       — the partition's output is <= 2^n_sources tiny rows of
+       (mask, n_terms), in practice a handful;
+    3. the driver expands masks into per-source sizes and pair
+       intersections — O(#masks x #sources^2) integers, independent of
+       vocabulary size.
+
+    Fails loudly above :data:`MAX_JACCARD_SOURCES` sources."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    # the source taxonomy: tiny by contract (data-mixing buckets)
+    srcs = _read_docs(sf_dir, columns=("source",)).unique("source")
+    sources = sorted(s for s in srcs if s is not None)
+    if len(sources) > MAX_JACCARD_SOURCES:
+        raise ValueError(
+            f"source_jaccard: {len(sources)} distinct sources exceed the "
+            f"bitmask bound of {MAX_JACCARD_SOURCES}. Pairwise exact "
+            "vocabulary overlap over an unbounded taxonomy needs a "
+            "sketch (per-source minhash), not this operator."
+        )
+    bit_of = {s: np.uint64(1) << np.uint64(i) for i, s in enumerate(sources)}
+
+    pair_schema = pa.schema([("source", pa.string()), ("term", pa.string())])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(text, "")), "[^a-z0-9]+"
+        )
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_per = np.diff(offs)
+        src = np.repeat(
+            np.asarray(batch["source"].to_pylist(), dtype=object), n_per
+        )
+        terms = np.asarray(flat.to_pylist(), dtype=object)
+        keep = terms != ""
+        src, terms = src[keep], terms[keep]
+        df = pd.DataFrame({"source": src, "term": terms}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(pair_schema)
+
+    mask_schema = pa.schema([("mask", pa.int64()), ("n_terms", pa.int64())])
+
+    def masks_per_term(g: pd.DataFrame) -> pd.DataFrame:
+        term = g["term"].to_numpy()
+        src = g["source"].to_numpy()
+        bits = np.fromiter(
+            (bit_of[s] for s in src), dtype=np.uint64, count=len(src)
+        )
+        order = np.argsort(term, kind="stable")
+        term, bits = term[order], bits[order]
+        first = np.ones(len(term), dtype=bool)
+        if len(term):
+            first[1:] = term[1:] != term[:-1]
+        starts = np.flatnonzero(first)
+        masks = (
+            np.bitwise_or.reduceat(bits, starts)
+            if len(bits)
+            else np.empty(0, dtype=np.uint64)
+        )
+        uniq, cnt = np.unique(masks, return_counts=True)
+        return pd.DataFrame(
+            {
+                "mask": uniq.astype(np.int64),
+                "n_terms": cnt.astype(np.int64),
+            }
+        )
+
+    mask_rows = grouped_partitions(
+        _read_docs(sf_dir, columns=("source", "text")).map_batches(
+            distinct_pairs, batch_format="pyarrow"
+        ),
+        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        masks_per_term,
+        mask_schema,
+    ).take_all()  # <= partitions x distinct masks: tiny by construction
+
+    # driver-side expansion: per-source sizes and pair intersections
+    n_src = len(sources)
+    sizes = np.zeros(n_src, dtype=np.int64)
+    inter = np.zeros((n_src, n_src), dtype=np.int64)
+    for r in mask_rows:
+        mask, n = np.uint64(r["mask"]), int(r["n_terms"])
+        members = [i for i in range(n_src) if mask & (np.uint64(1) << np.uint64(i))]
+        for i in members:
+            sizes[i] += n
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                inter[members[ai], members[bi]] += n
+
+    a_out, b_out, na, nb, nboth, jac = [], [], [], [], [], []
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            if inter[i, j] == 0:
+                continue
+            a_out.append(sources[i])
+            b_out.append(sources[j])
+            na.append(sizes[i])
+            nb.append(sizes[j])
+            nboth.append(inter[i, j])
+            jac.append(inter[i, j] / float(sizes[i] + sizes[j] - inter[i, j]))
+    return pa.table(
+        {
+            "source_a": pa.array(a_out, type=pa.string()),
+            "source_b": pa.array(b_out, type=pa.string()),
+            "n_a": pa.array(na, type=pa.int64()),
+            "n_b": pa.array(nb, type=pa.int64()),
+            "n_both": pa.array(nboth, type=pa.int64()),
+            "jaccard_r": pa.array(
+                round_half_up(np.asarray(jac, dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )

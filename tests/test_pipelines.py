@@ -2304,3 +2304,57 @@ class TestFunnelRetention:
             coh_sizes[f] = coh_sizes.get(f, 0) + 1
         for cd, size in coh_sizes.items():
             assert want[(cd, 0)] == size
+
+
+class TestSourceJaccard:
+    def test_recompute(self):
+        """Pairwise Jaccard recomputes from Python sets over sf0.001."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import source_jaccard
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+        vocab: dict = {}
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            ws = {w for w in re.split(r"[^a-z0-9]+", (x or "").lower()) if w}
+            vocab.setdefault(s, set()).update(ws)
+
+        got = _pdf(source_jaccard(SF))
+        assert (got["source_a"] < got["source_b"]).all()
+        seen = set()
+        for _, r in got.iterrows():
+            a, b = r["source_a"], r["source_b"]
+            seen.add((a, b))
+            inter = len(vocab[a] & vocab[b])
+            assert inter > 0
+            assert r["n_a"] == len(vocab[a]) and r["n_b"] == len(vocab[b])
+            assert r["n_both"] == inter
+            want = inter / len(vocab[a] | vocab[b])
+            assert abs(r["jaccard_r"] - want) < 1e-6
+        # every nonzero-intersection pair is present
+        srcs = sorted(vocab)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1:]:
+                if vocab[a] & vocab[b]:
+                    assert (a, b) in seen
+
+    def test_source_bound_guard(self, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from invertedindex_ray.pipelines import textstats
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta", "beta gamma"],
+                "source": ["s1", "s2"],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        monkeypatch.setattr(textstats, "MAX_JACCARD_SOURCES", 1)
+        with pytest.raises(ValueError, match="bitmask bound"):
+            textstats.source_jaccard(str(tmp_path))
