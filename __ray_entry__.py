@@ -263,6 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ivf_ann_topk(sf, n_queries=5, k=10),
         # --- recall@k of the IVF path vs the exact brute-force path ---
         "ann_ivf_recall": lambda sf: similarity.ann_ivf_recall(sf),
+        # --- IVF + product quantization (Jégou et al. 2011): one-byte
+        #     codes + ADC lookup scan — the memory-scale ANN path.
+        #     Iterative PQ training has no SQL expression (rows-only);
+        #     quality gated by ann_pq_recall + pytest ---
+        "ann_ivf_pq_topk": lambda sf: similarity.ivf_pq_topk(sf),
+        "ann_pq_recall": lambda sf: similarity.ann_pq_recall(sf),
         # --- distributed k-means + SemDeDup (iterative: rows-only, the
         #     pytest oracle is a pure-numpy Lloyd run) ---
         "kmeans_clusters": lambda sf: __import__(

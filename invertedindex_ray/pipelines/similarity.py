@@ -542,3 +542,246 @@ def ann_ivf_recall(sf_dir: str, *, n_queries: int = 5, k: int = 10):
             ),
         }
     )
+
+
+# ----------------------------------------------------------- IVF-PQ
+
+def _pq_codebooks(
+    sf_dir: str, *, m: int = 16, ks: int = 64, iters: int = 5
+) -> np.ndarray:
+    """(m, ks, d/m) product-quantization codebooks trained with Lloyd
+    k-means per subspace over the UNIT-NORMALIZED vectors (normalize
+    first, then inner-product ADC approximates cosine — Jégou et al.
+    2011, TPAMI). Fully deterministic: init = the subvectors of the
+    first ks vectors by vec_id; empty codes keep their previous entry.
+
+    Scale shape: same as clustering.kmeans_centroids — each iteration is
+    one streaming pass, every block emits ONE slim binary row
+    (m*ks*(d/m) f64 sums + m*ks counts, ~33 KB at m=16/ks=64/d=64) and
+    the driver reduces them in sorted block-key order."""
+    import ray
+
+    _, init = _smallest_by_vec_id(sf_dir, ks)
+    d = init.shape[1]
+    if d % m:
+        raise ValueError(f"_pq_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+    norms = np.linalg.norm(init, axis=1)
+    norms[norms == 0] = 1.0
+    init = init / norms[:, None]
+    books = np.ascontiguousarray(
+        init.reshape(ks, m, dsub).transpose(1, 0, 2)
+    )  # (m, ks, dsub)
+
+    from invertedindex_ray.pipelines.clustering import _batch_matrix
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            ids, mat = _batch_matrix(batch)
+            if not len(ids):
+                return pa.table(
+                    {"bkey": pa.array([], type=pa.int64()),
+                     "sums": pa.array([], type=pa.binary()),
+                     "counts": pa.array([], type=pa.binary())}
+                )
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            mat = mat / vnorm[:, None]
+            sums = np.zeros((m, ks, dsub), dtype=np.float64)
+            counts = np.zeros((m, ks), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ b[j].T)
+                    + (b[j] * b[j]).sum(axis=1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                for c in np.unique(a):
+                    sums[j, c] = sub[a == c].sum(axis=0)
+                counts[j] += np.bincount(a, minlength=ks)
+            return pa.table(
+                {
+                    "bkey": pa.array([int(ids.min())], type=pa.int64()),
+                    "sums": pa.array([sums.tobytes()], type=pa.binary()),
+                    "counts": pa.array([counts.tobytes()], type=pa.binary()),
+                }
+            )
+
+        rows = (
+            _read_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all()
+        )
+        rows.sort(key=lambda r: r["bkey"])
+        tot = np.zeros((m, ks, dsub), dtype=np.float64)
+        cnt = np.zeros((m, ks), dtype=np.int64)
+        for r in rows:
+            tot += np.frombuffer(r["sums"], dtype=np.float64).reshape(m, ks, dsub)
+            cnt += np.frombuffer(r["counts"], dtype=np.int64).reshape(m, ks)
+        new = books.copy()
+        nz = cnt > 0
+        new[nz] = tot[nz] / cnt[nz][:, None]
+        books = new
+    return books
+
+
+def ivf_pq_topk(
+    sf_dir: str,
+    *,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ks: int = 64,
+    iters: int = 5,
+):
+    """(qid, vec_id, score_pq_r, rank): IVF + product-quantization ANN
+    (Jégou et al. 2011) — the MEMORY-scale path: each database vector is
+    stored as m one-byte codes (one byte per subspace at ks<=256:
+    m bytes vs 4d float bytes — 16x smaller at d=64/m=16), and queries score candidates with an ADC lookup table —
+    m table reads per vector, no float multiply against the raw vector.
+    At 100 TB the compressed codes fit a cluster's RAM when the raw
+    embeddings cannot; that is the entire point of PQ.
+
+    Approximate score = sum_j <q_j, codebook_j[code_j(v)]> over unit-
+    normalized vectors (≈ cosine). Fully deterministic (no RNG): coarse
+    centroids and PQ init are the first vectors by vec_id. Iterative
+    k-means training means no SQL oracle exists — quality is gated by
+    :func:`ann_pq_recall` and pytest instead.
+
+    Scale: training = one streaming pass per iteration (slim binary
+    partials); the scan inherits IVF's probe pruning, broadcasts only
+    (queries, centroids, codebooks) once via ray.put, and ships k rows
+    per query per batch."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    _cids, centroids = _smallest_by_vec_id(sf_dir, n_centroids)
+    books = _pq_codebooks(sf_dir, m=m, ks=ks, iters=iters)
+    d = qmat.shape[1]
+    dsub = d // m
+
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    qc = round_half_up((qmat @ centroids.T) / (qnorm[:, None] * cnorm[None, :]), 6)
+    probe = np.argsort(-qc, kind="stable", axis=1)[:, :nprobe]
+    # ADC lookup tables: (n_queries, m, ks) — built ONCE on the driver
+    luts = np.einsum("qjd,jkd->qjk", qunit.reshape(len(qids), m, dsub), books)
+    ref = ray.put((qids, centroids, cnorm, books, probe, luts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from invertedindex_ray.pipelines.clustering import _batch_matrix
+
+        q_ids, cents, c_norm, b, prb, lut = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        out_q: list = []
+        out_v: list = []
+        out_s: list = []
+        if len(ids):
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            ccos = round_half_up(
+                (mat @ cents.T) / (vnorm[:, None] * c_norm[None, :]), 6
+            )
+            assign = np.argmax(ccos, axis=1)
+            unit = mat / vnorm[:, None]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                sub = unit[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ b[j].T)
+                    + (b[j] * b[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            for qi in range(len(q_ids)):
+                mask = np.isin(assign, prb[qi])
+                if not mask.any():
+                    continue
+                sub_codes = codes[mask]
+                # ADC: m lookups per candidate
+                approx = lut[qi][np.arange(m)[None, :], sub_codes].sum(axis=1)
+                q1, v1, s1 = _partial_topk_rows(
+                    np.asarray([q_ids[qi]]), approx[None, :], ids[mask], k
+                )
+                out_q.extend(q1)
+                out_v.extend(v1)
+                out_s.extend(s1)
+        return pa.table(
+            {
+                "qid": pa.array(np.asarray(out_q, dtype=np.int64), type=pa.int64()),
+                "vec_id": pa.array(
+                    np.asarray(out_v, dtype=np.int64), type=pa.int64()
+                ),
+                "score": pa.array(
+                    np.asarray(out_s, dtype=np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    part = _read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score_pq_r=round_half_up(g["score"].to_numpy(), 6))
+        g = g.sort_values(
+            ["score_pq_r", "vec_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "score_pq_r", "rank"]]
+
+    out = part.groupby("qid").map_groups(final, batch_format="pandas").to_pandas()
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out.astype(
+            {
+                "qid": np.int64,
+                "vec_id": np.int64,
+                "score_pq_r": np.float64,
+                "rank": np.int64,
+            }
+        ),
+        preserve_index=False,
+    )
+
+
+def ann_pq_recall(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """(qid, n_hit, recall_r): recall@k of the IVF-PQ path against the
+    exact brute-force top-k — the PQ quality probe (same shape as
+    :func:`ann_ivf_recall`; rows-only in the driver contract because the
+    PQ side's iterative training has no SQL expression)."""
+    exact = ann_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = ivf_pq_topk(sf_dir, n_queries=n_queries, k=k)
+
+    def _sets(t) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for q, v in zip(
+            t["qid"].to_numpy(zero_copy_only=False),
+            t["vec_id"].to_numpy(zero_copy_only=False),
+        ):
+            out.setdefault(int(q), set()).add(int(v))
+        return out
+
+    ex, ap = _sets(exact), _sets(approx)
+    qids = sorted(ex)
+    n_hit = [len(ex[q] & ap.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "qid": pa.array(qids, type=pa.int64()),
+            "n_hit": pa.array(n_hit, type=pa.int64()),
+            "recall_r": pa.array(
+                round_half_up(np.array(n_hit, dtype=np.float64) / k, 6),
+                type=pa.float64(),
+            ),
+        }
+    )
