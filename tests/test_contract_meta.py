@@ -33,6 +33,8 @@ class TestContractMeta:
             "hll_distinct_terms",    # approximate by construction
             "kmeans_clusters",       # iterative (numpy-Lloyd pytest oracle)
             "semantic_dedup",        # iterative (brute-force pytest oracle)
+            "ann_ivf_pq_topk",       # iterative PQ training (pytest-gated)
+            "ann_pq_recall",         # recall probe of the PQ path
             "topk_daat",             # legacy alias kept rows-only pre-r2;
                                      # now also SQL-checked if present in o
         }
