@@ -2084,9 +2084,12 @@ UNION ALL
 SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
         "retention_cohorts": """
 WITH fd AS (
-  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events
+  WHERE ts IS NOT NULL GROUP BY user_id
 ),
-ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+ud AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events WHERE ts IS NOT NULL
+)
 SELECT f.cohort_day::TIMESTAMP AS cohort_day,
        date_diff('day', f.cohort_day, u.d)::BIGINT AS day_offset,
        count(*)::BIGINT AS n_users

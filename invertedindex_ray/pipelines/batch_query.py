@@ -31,6 +31,21 @@ from invertedindex_ray.pipelines.analytics import (
 )
 
 
+def _matching_postings_fn(term_set: frozenset):
+    """Batch transform: explode to postings and keep only query terms
+    (the semi-join on the broadcast term set) — shared by the BM25 and
+    query-likelihood pipelines."""
+    value_set = pa.array(sorted(term_set), type=pa.string())
+
+    def matching_postings(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _explode_batch(batch)
+        return t.filter(pc.is_in(t["term"], value_set=value_set))
+
+    return matching_postings
+
+
 def parse_queries(queries: list[tuple[str, str]], cfg: IndexConfig):
     """[(qid, '[AND|OR] text')] -> [(qid, qtype, frozenset(terms))] using the
     reference's query preprocessing (QueryProcessor.java:135-174)."""
@@ -99,16 +114,11 @@ def batch_topk(
     avg = float(stats["avg_doc_len"][0].as_py())
     term_set = frozenset(all_terms)
 
-    def matching_postings(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = _explode_batch(batch)
-        mask = pc.is_in(t["term"], value_set=pa.array(sorted(term_set), type=pa.string()))
-        return t.filter(mask)
-
     # materialized: reused by the df aggregate AND the scoring pass (a
     # lazy `post` would re-run explode+filter once per consumer)
-    post = tok.map_batches(matching_postings, batch_format="pyarrow").materialize()
+    post = tok.map_batches(
+        _matching_postings_fn(term_set), batch_format="pyarrow"
+    ).materialize()
     # df for the (few) query terms — a tiny shuffle
     from ray.data.aggregate import Count
 
@@ -304,16 +314,9 @@ def batch_topk_lm(
     c_total = float(stats["total_tokens"][0].as_py())
     term_set = frozenset(all_terms)
 
-    def matching_postings(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = _explode_batch(batch)
-        mask = pc.is_in(
-            t["term"], value_set=pa.array(sorted(term_set), type=pa.string())
-        )
-        return t.filter(mask)
-
-    post = tok.map_batches(matching_postings, batch_format="pyarrow").materialize()
+    post = tok.map_batches(
+        _matching_postings_fn(term_set), batch_format="pyarrow"
+    ).materialize()
     from ray.data.aggregate import Sum
 
     cf_tbl = post.groupby("term").aggregate(Sum("tf", alias_name="cf"))

@@ -479,6 +479,14 @@ def funnel_counts(
 
     step_list = [str(s) for s in steps]
     n_steps = len(step_list)
+    if len(set(step_list)) != n_steps:
+        raise ValueError(
+            f"funnel_counts: repeated event type in steps {step_list!r}. "
+            "Each step must be a distinct type — a repeat-step funnel "
+            "(view -> view -> click) needs per-occurrence chaining this "
+            "operator does not implement; it would otherwise silently "
+            "return zero counts."
+        )
     if n_steps == 0:
         return pa.table(
             {"step": pa.array([], type=pa.int64()),
@@ -498,11 +506,13 @@ def funnel_counts(
         sidx = np.fromiter(
             (idx_of.get(t, -1) for t in et), dtype=np.int64, count=len(et)
         )
-        keep = sidx >= 0
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
             batch["ts"].to_numpy(zero_copy_only=False).view("int64")
-        )  # microseconds since epoch
+        )  # microseconds since epoch; NaT views as int64 min
+        # NULL timestamps never qualify (SQL min()/> semantics), so they
+        # drop instead of becoming the -2^63 sentinel
+        keep = (sidx >= 0) & (ts != np.iinfo(np.int64).min)
         return pa.table(
             {
                 "user_id": pa.array(uid[keep], type=pa.int64()),
@@ -596,7 +606,12 @@ def retention_cohorts(sf_dir: str):
         if batch.num_rows == 0:
             return slim_schema.empty_table()
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = batch["ts"].to_numpy(zero_copy_only=False).view("int64") // US_PER_DAY
+        raw = batch["ts"].to_numpy(zero_copy_only=False).view("int64")
+        # NULL timestamps (NaT -> int64 min) drop: a NULL day belongs to
+        # no cohort (SQL WHERE ts IS NOT NULL, pinned in the oracle)
+        ok = raw != np.iinfo(np.int64).min
+        uid, raw = uid[ok], raw[ok]
+        day = raw // US_PER_DAY
         # per-batch (user, day) pre-dedupe: shrinks the shuffle to at
         # most one row per user-day per batch
         key = np.stack([uid, day], axis=1)

@@ -115,6 +115,29 @@ def _partial_topk_rows(q_ids, cos, ids, k):
     return out_q, out_v, out_c
 
 
+def _finalize_topk(part, score_in: str, score_out: str, k: int) -> pa.Table:
+    """Shared per-qid top-k finalizer for the ANN pipelines: round the
+    raw score to 6 dp, rank by (rounded desc, vec_id asc), keep k, and
+    return the canonical (qid, vec_id, <score_out>, rank) table."""
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(**{score_out: round_half_up(g[score_in].to_numpy(), 6)})
+        g = g.sort_values([score_out, "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", score_out, "rank"]]
+
+    out = part.groupby("qid").map_groups(final, batch_format="pandas").to_pandas()
+    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out.astype(
+            {"qid": np.int64, "vec_id": np.int64, score_out: np.float64,
+             "rank": np.int64}
+        ),
+        preserve_index=False,
+    )
+
+
 def ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     """(qid, vec_id, cos_r, rank): exact cosine top-k per query vector.
     cos_r rounded to 6 dp; ties broken by vec_id ascending."""
@@ -147,21 +170,7 @@ def ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10):
         partial_topk, batch_format="pyarrow", batch_size=1024
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(cos_r=round_half_up(g["cos"].to_numpy(), 6))
-        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "cos_r", "rank"]]
-
-    out = partial.groupby("qid").map_groups(final_topk, batch_format="pandas").to_pandas()
-    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        out.astype(
-            {"qid": np.int64, "vec_id": np.int64, "cos_r": np.float64, "rank": np.int64}
-        ),
-        preserve_index=False,
-    )
+    return _finalize_topk(partial, "cos", "cos_r", k)
 
 
 # ------------------------------------------------------------- near-dup
@@ -383,21 +392,7 @@ def ivf_ann_topk(sf_dir: str, *, n_queries: int = 5, k: int = 10, n_centroids: i
 
     part = _read_embeddings(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=1024)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(cos_r=round_half_up(g["cos"].to_numpy(), 6))
-        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "cos_r", "rank"]]
-
-    out = part.groupby("qid").map_groups(final, batch_format="pandas").to_pandas()
-    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        out.astype(
-            {"qid": np.int64, "vec_id": np.int64, "cos_r": np.float64, "rank": np.int64}
-        ),
-        preserve_index=False,
-    )
+    return _finalize_topk(part, "cos", "cos_r", k)
 
 
 def knn_label_vote(sf_dir: str, *, n_queries: int = 20, k: int = 10):
@@ -600,8 +595,7 @@ def _pq_codebooks(
                     + (b[j] * b[j]).sum(axis=1)[None, :]
                 )
                 a = np.argmin(d2, axis=1)
-                for c in np.unique(a):
-                    sums[j, c] = sub[a == c].sum(axis=0)
+                np.add.at(sums[j], a, sub)  # one pass, not ks masked scans
                 counts[j] += np.bincount(a, minlength=ks)
             return pa.table(
                 {
@@ -731,28 +725,7 @@ def ivf_pq_topk(
         partial, batch_format="pyarrow", batch_size=1024
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(score_pq_r=round_half_up(g["score"].to_numpy(), 6))
-        g = g.sort_values(
-            ["score_pq_r", "vec_id"], ascending=[False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "vec_id", "score_pq_r", "rank"]]
-
-    out = part.groupby("qid").map_groups(final, batch_format="pandas").to_pandas()
-    out = out.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        out.astype(
-            {
-                "qid": np.int64,
-                "vec_id": np.int64,
-                "score_pq_r": np.float64,
-                "rank": np.int64,
-            }
-        ),
-        preserve_index=False,
-    )
+    return _finalize_topk(part, "score", "score_pq_r", k)
 
 
 def ann_pq_recall(sf_dir: str, *, n_queries: int = 5, k: int = 10):

@@ -389,19 +389,20 @@ def zipf_slope(sf_dir: str, n: int = 1000):
         mx = x.mean()
         my = y.mean()
         var = (x * x).mean() - mx * mx
-        slope = ((x * y).mean() - mx * my) / var
-        intercept = my - slope * mx
+        raw_slope = ((x * y).mean() - mx * my) / var
+        slope = float(round_half_up(np.array([raw_slope]), 6)[0])
+        intercept = float(
+            round_half_up(np.array([my - raw_slope * mx]), 6)[0]
+        )
     else:
-        slope = 0.0
-        intercept = float(np.log(cnt[0])) if len(cnt) else 0.0
+        # <2 points: zero rank variance — regr_slope/regr_intercept are
+        # NULL in the SQL mirror, so emit NULLs, not 0.0
+        slope = None
+        intercept = None
     return pa.table(
         {
             "n_terms": pa.array([len(cnt)], type=pa.int64()),
-            "slope_r": pa.array(
-                round_half_up(np.array([slope]), 6), type=pa.float64()
-            ),
-            "intercept_r": pa.array(
-                round_half_up(np.array([intercept]), 6), type=pa.float64()
-            ),
+            "slope_r": pa.array([slope], type=pa.float64()),
+            "intercept_r": pa.array([intercept], type=pa.float64()),
         }
     )

@@ -1804,7 +1804,11 @@ def source_jaccard(sf_dir: str):
             np.asarray(batch["source"].to_pylist(), dtype=object), n_per
         )
         terms = np.asarray(flat.to_pylist(), dtype=object)
-        keep = terms != ""
+        # NULL-source rows drop here, mirroring the SQL inner join's
+        # NULL semantics (the bitmask map has no entry for None)
+        keep = (terms != "") & np.asarray(
+            [s is not None for s in src], dtype=bool
+        )
         src, terms = src[keep], terms[keep]
         df = pd.DataFrame({"source": src, "term": terms}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False).cast(pair_schema)

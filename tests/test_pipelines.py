@@ -2452,3 +2452,109 @@ class TestIVFPQ:
         assert len(r) == 5
         assert r["recall_r"].mean() >= 0.5
         assert (r["n_hit"] >= 1).all()
+
+
+class TestTailEdgeCases:
+    """Regression tests for the round-4 tail self-review findings."""
+
+    def test_source_jaccard_null_source(self, tmp_path):
+        """NULL-source docs drop (SQL inner-join semantics), no crash."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.textstats import source_jaccard
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta", "beta gamma", "alpha beta gamma"],
+                "source": pa.array(["s1", "s2", None], type=pa.string()),
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(source_jaccard(str(tmp_path)))
+        assert len(got) == 1
+        r = got.iloc[0]
+        # the NULL-source doc contributes to NEITHER vocabulary
+        assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+        assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_both"] == 1
+
+    def test_funnel_null_ts_never_qualifies(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import funnel_counts
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pa.array(
+                    [None, base, base + dt.timedelta(hours=1)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase"], type=pa.string()
+                ),
+                "value": pa.array([0.0] * 3, type=pa.float64()),
+                "props": pa.array(["{}"] * 3, type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = _pdf(funnel_counts(str(tmp_path))).set_index("step")
+        # the NULL-ts view must NOT become a -2^63 first-reach that
+        # lets the click/purchase chain
+        assert got["n_users"].tolist() == [0, 0, 0]
+
+    def test_funnel_repeated_step_guard(self):
+        import pytest
+
+        from invertedindex_ray.pipelines.relational import funnel_counts
+
+        with pytest.raises(ValueError, match="repeated event type"):
+            funnel_counts(SF, steps=("view", "view", "click"))
+
+    def test_retention_null_ts_dropped(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import retention_cohorts
+
+        base = dt.datetime(2024, 1, 2)
+        t = pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": pa.array([None, base], type=pa.timestamp("us")),
+                "user_id": pa.array([7, 7], type=pa.int64()),
+                "event_type": pa.array(["view", "view"], type=pa.string()),
+                "value": pa.array([0.0, 0.0], type=pa.float64()),
+                "props": pa.array(["{}", "{}"], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = _pdf(retention_cohorts(str(tmp_path)))
+        # one real event -> exactly one (cohort, 0) row; no bogus
+        # int64-min cohort from the NaT sentinel
+        assert len(got) == 1
+        assert got["day_offset"].iloc[0] == 0 and got["n_users"].iloc[0] == 1
+        assert got["cohort_day"].iloc[0].year == 2024
+
+    def test_zipf_degenerate_nulls(self, tmp_path):
+        """<2 distinct terms: slope/intercept are NULL (regr_slope
+        parity), not 0.0."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import zipf_slope
+
+        docs = pa.table({"doc_id": [1], "text": ["aaa aaa aaa"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = zipf_slope(str(tmp_path))
+        assert got["n_terms"][0].as_py() == 1
+        assert got["slope_r"][0].as_py() is None
+        assert got["intercept_r"][0].as_py() is None
