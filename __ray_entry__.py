@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": lambda sf: analytics.lexicon(sf),
         "prefix_terms": lambda sf: analytics.prefix_terms(sf),
         "fuzzy_terms": lambda sf: analytics.fuzzy_terms(sf),
+        # --- did-you-mean: best (dist, df desc, term) candidate ---
+        "spell_suggest": lambda sf: analytics.spell_suggest(sf),
         "term_upper_bounds": lambda sf: analytics.term_upper_bounds(sf),
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
@@ -1573,6 +1575,26 @@ lex AS (
 fz(q) AS (VALUES ('tble'), ('scann'), ('hash'), ('zzzq'))
 SELECT fz.q, lex.term, levenshtein(fz.q, lex.term)::BIGINT AS dist, lex.df
 FROM fz JOIN lex ON levenshtein(fz.q, lex.term) <= 1"""
+        ),
+        # did-you-mean on top of the fuzzy candidates: one best row per
+        # query word by (dist asc, df desc, term asc)
+        "spell_suggest": _base(
+            """, tfs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM kept GROUP BY term, doc_id
+),
+lex AS (
+  SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term
+),
+fz(q) AS (VALUES ('tble'), ('scann'), ('hash'), ('zzzq')),
+cand AS (
+  SELECT fz.q, lex.term, levenshtein(fz.q, lex.term)::BIGINT AS dist, lex.df,
+         row_number() OVER (
+           PARTITION BY fz.q
+           ORDER BY levenshtein(fz.q, lex.term), lex.df DESC, lex.term
+         ) AS rn
+  FROM fz JOIN lex ON levenshtein(fz.q, lex.term) <= 1
+)
+SELECT q, term AS suggestion, dist, df FROM cand WHERE rn = 1"""
         ),
         "term_upper_bounds": _base(
             """, cstats AS (

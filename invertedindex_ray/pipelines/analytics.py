@@ -591,3 +591,41 @@ def fuzzy_terms(sf_dir: str, words: list[str] | None = None,
         return pa.concat_tables(outs)
 
     return lexicon(sf_dir, cfg).map_batches(match, batch_format="pyarrow")
+
+
+def spell_suggest(sf_dir: str, words: list[str] | None = None,
+                  cfg: IndexConfig = NOSTEM):
+    """(q, suggestion, dist, df): did-you-mean — the single best
+    correction per query word from the Levenshtein<=1 candidates of
+    :func:`fuzzy_terms`, picked by (dist asc, df desc, term asc): an
+    exact vocabulary hit suggests itself (dist 0); a word with no
+    candidate within distance 1 yields no row (mirrors the SQL inner
+    join). The candidate set is bounded (a handful of rows per query
+    word), so the final pick is a driver-side pass over a tiny table;
+    all the heavy lifting is fuzzy_terms' vectorized byte-matrix screen
+    over the distributed lexicon."""
+    import pandas as pd
+
+    cand = fuzzy_terms(sf_dir, words=words, cfg=cfg).to_pandas()
+    out_schema = pa.schema(
+        [("q", pa.string()), ("suggestion", pa.string()),
+         ("dist", pa.int64()), ("df", pa.int64())]
+    )
+    if not len(cand):
+        return out_schema.empty_table()
+    cand = cand.sort_values(
+        ["q", "dist", "df", "term"], ascending=[True, True, False, True]
+    )
+    best = cand.groupby("q", as_index=False).first()
+    return pa.table(
+        {
+            "q": pa.array(best["q"].tolist(), type=pa.string()),
+            "suggestion": pa.array(best["term"].tolist(), type=pa.string()),
+            "dist": pa.array(
+                best["dist"].to_numpy().astype(np.int64), type=pa.int64()
+            ),
+            "df": pa.array(
+                best["df"].to_numpy().astype(np.int64), type=pa.int64()
+            ),
+        }
+    )

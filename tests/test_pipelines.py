@@ -2558,3 +2558,56 @@ class TestTailEdgeCases:
         assert got["n_terms"][0].as_py() == 1
         assert got["slope_r"][0].as_py() is None
         assert got["intercept_r"][0].as_py() is None
+
+
+class TestSpellSuggest:
+    def test_pick_rule(self, tmp_path):
+        """Best = (dist asc, df desc, term asc); exact hits suggest
+        themselves; unmatched words yield no row."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.analytics import spell_suggest
+
+        # vocabulary: 'table' x3 docs, 'cable' x1 doc, 'tble' absent
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "table stuff here",
+                    "table again now",
+                    "table third time",
+                    "cable run",
+                ],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(
+            spell_suggest(str(tmp_path), words=["tble", "table", "zzznope"])
+        ).set_index("q")
+        # 'tble' -> both 'table' (df 3) and 'cable' at dist... cable vs
+        # tble is dist 2, so only 'table' (insertion) qualifies
+        assert got.loc["tble", "suggestion"] == "table"
+        assert got.loc["tble", "dist"] == 1 and got.loc["tble", "df"] == 3
+        # exact hit suggests itself at dist 0
+        assert got.loc["table", "suggestion"] == "table"
+        assert got.loc["table", "dist"] == 0
+        assert "zzznope" not in got.index
+
+    def test_df_tiebreak(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.analytics import spell_suggest
+
+        # 'hat' and 'cat' both dist-1 from 'bat'; 'cat' has higher df
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["hat stand", "cat toy", "cat nap"],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(spell_suggest(str(tmp_path), words=["bat"])).set_index("q")
+        assert got.loc["bat", "suggestion"] == "cat"
+        assert got.loc["bat", "df"] == 2
