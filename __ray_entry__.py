@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": lambda sf: analytics.tfidf_scores(sf),
         # --- batch retrieval (SQL-checked) ---
         "topk_batch": lambda sf: batch_topk(sf, DRIVER_QUERY_SET, k=_K),
+        # --- learning-to-rank feature rows over the BM25 top-k ---
+        "ltr_features": lambda sf: __import__(
+            "invertedindex_ray.pipelines.ltr", fromlist=["x"]
+        ).ltr_features(sf, DRIVER_QUERY_SET, k=_K),
         # --- Dirichlet query-likelihood retrieval (Zhai & Lafferty,
         #     SIGIR 2001): the second classic scoring model over the
         #     same postings spine; inherently disjunctive ---
@@ -569,6 +573,40 @@ ranked AS (
 )
 SELECT qid, doc_id, score_r, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {_K}
+"""
+    )
+
+
+def _ltr_features_sql() -> str:
+    """Mirror of pipelines.ltr.ltr_features: the BM25 top-k candidates
+    (the topk_batch ranking, reused verbatim) joined with per-(qid, doc)
+    matched-posting aggregates and doc_len. Every feature except bm25_r
+    is an integer, so the comparison is exact by construction."""
+    return _base(
+        _retrieval_ctes()
+        + f""",
+ranked AS (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
+  FROM eligible
+),
+cand AS (SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {_K}),
+feat AS (
+  SELECT q.qid, t.doc_id,
+         count(*)::BIGINT AS n_hit,
+         sum(t.tf)::BIGINT AS sum_tf,
+         max(t.tf)::BIGINT AS max_tf,
+         min(l.df)::BIGINT AS min_df
+  FROM qterms q
+  JOIN tfs t ON t.term = q.term
+  JOIN lex l ON l.term = t.term
+  GROUP BY q.qid, t.doc_id
+)
+SELECT c.qid, c.doc_id, c.score_r AS bm25_r, c.rank::BIGINT AS rank,
+       f.n_hit, f.sum_tf, f.max_tf, f.min_df, d.doc_len
+FROM cand c
+JOIN feat f ON f.qid = c.qid AND f.doc_id = c.doc_id
+JOIN docstats d ON d.doc_id = c.doc_id
 """
     )
 
@@ -1631,6 +1669,7 @@ FROM tfs t JOIN lex l USING (term) CROSS JOIN cstats c"""
         ),
         "topk_batch": _topk_batch_sql(),
         "topk_lm": _topk_lm_sql(),
+        "ltr_features": _ltr_features_sql(),
         "rm3_search": _rm3_sql(),
         "dup_ngram_spans": _dup_spans_sql(),
         "more_like_this": _mlt_sql(),

@@ -2611,3 +2611,63 @@ class TestSpellSuggest:
         got = _pdf(spell_suggest(str(tmp_path), words=["bat"])).set_index("q")
         assert got.loc["bat", "suggestion"] == "cat"
         assert got.loc["bat", "df"] == 2
+
+
+class TestLTRFeatures:
+    def test_features_recompute(self):
+        """Feature rows cover exactly the BM25 top-k candidates and the
+        integer features recompute from the postings."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions.textproc import preprocess_token
+        from invertedindex_ray.pipelines.batch_query import batch_topk
+        from invertedindex_ray.pipelines.ltr import ltr_features
+
+        qset = [("q1", "or data query join"), ("q2", "and table scan")]
+        got = _pdf(ltr_features(SF, qset, k=10))
+        cand = _pdf(batch_topk(SF, qset, k=10))
+        assert len(got) == len(cand)
+        assert set(zip(got.qid, got.doc_id)) == set(zip(cand.qid, cand.doc_id))
+        # bm25_r and rank carry over unchanged
+        m = got.merge(cand, on=["qid", "doc_id"])
+        assert (m["bm25_r"] == m["score_r"]).all()
+        assert (m["rank_x"] == m["rank_y"]).all()
+
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        docs = {}
+        for doc_id, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()):
+            toks = [
+                p
+                for w in re.split(r"[^a-z0-9]+", (t or "").lower())
+                if w
+                and (p := preprocess_token(w, stemming=False,
+                                           stopword_removal=True))
+            ]
+            if toks:
+                docs[doc_id] = Counter(toks)
+        df = Counter()
+        for c in docs.values():
+            df.update(set(c))
+        # NOSTEM config keeps stopword removal; none of these words are
+        # stopwords so they pass through unchanged
+        qterms = {
+            "q1": {
+                preprocess_token(w, stemming=False, stopword_removal=True)
+                for w in ("data", "query", "join")
+            },
+            "q2": {
+                preprocess_token(w, stemming=False, stopword_removal=True)
+                for w in ("table", "scan")
+            },
+        }
+        for _, r in got.iterrows():
+            tfm = docs[r["doc_id"]]
+            hits = {t: tfm[t] for t in qterms[r["qid"]] if tfm.get(t)}
+            assert r["n_hit"] == len(hits)
+            assert r["sum_tf"] == sum(hits.values())
+            assert r["max_tf"] == max(hits.values())
+            assert r["min_df"] == min(df[t] for t in hits)
+            assert r["doc_len"] == sum(tfm.values())
