@@ -2125,7 +2125,7 @@ SELECT event_type, 0.99::DOUBLE, q99, n_sample FROM agg
         "funnel_counts": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
-  WHERE event_type = 'view' GROUP BY user_id
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t

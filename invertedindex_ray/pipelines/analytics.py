@@ -604,8 +604,6 @@ def spell_suggest(sf_dir: str, words: list[str] | None = None,
     word), so the final pick is a driver-side pass over a tiny table;
     all the heavy lifting is fuzzy_terms' vectorized byte-matrix screen
     over the distributed lexicon."""
-    import pandas as pd
-
     cand = fuzzy_terms(sf_dir, words=words, cfg=cfg).to_pandas()
     out_schema = pa.schema(
         [("q", pa.string()), ("suggestion", pa.string()),

@@ -79,6 +79,7 @@ def batch_topk(
     *,
     parsed: list[tuple[str, str, frozenset]] | None = None,
     term_weights: dict[str, dict[str, float]] | None = None,
+    return_internals: bool = False,
 ) -> pa.Table:
     """Returns (qid, doc_id, score_r, rank) for every query.
 
@@ -93,18 +94,22 @@ def batch_topk(
     are already corpus tokens and must NOT be re-preprocessed (RM3
     expansion terms). ``term_weights[qid][term]`` scales that term's
     BM25 contribution for that query (default 1.0) — the weighted-query
-    primitive RM3 scores with.
+    primitive RM3 scores with. ``return_internals=True`` returns
+    ``(result, post, df_map)`` so a downstream pass (ltr_features) can
+    reuse the materialized matched-postings Dataset and term df map
+    instead of re-running the corpus tokenize + semi-join.
     """
     if parsed is None:
         parsed = parse_queries(queries, cfg)
     all_terms = sorted(set().union(*[t for _, _, t in parsed]) if parsed else set())
     if not all_terms:
-        return pa.table(
+        empty = pa.table(
             {"qid": pa.array([], type=pa.string()),
              "doc_id": pa.array([], type=pa.int64()),
              "score_r": pa.array([], type=pa.float64()),
              "rank": pa.array([], type=pa.int64())}
         )
+        return (empty, None, {}) if return_internals else empty
 
     # tokenize ONCE and reuse for stats, df and scoring (three derived
     # executions read the materialized blocks instead of re-tokenizing)
@@ -253,7 +258,7 @@ def batch_topk(
     if len(res):
         res = res[~res["qid"].isin(dead_qids)]
         res = res.sort_values(["qid", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
+    result = pa.Table.from_pandas(
         res.astype({"qid": str, "doc_id": np.int64, "score_r": np.float64, "rank": np.int64}),
         preserve_index=False,
     ) if len(res) else pa.table(
@@ -262,6 +267,7 @@ def batch_topk(
          "score_r": pa.array([], type=pa.float64()),
          "rank": pa.array([], type=pa.int64())}
     )
+    return (result, post, df_map) if return_internals else result
 
 
 def batch_topk_lm(

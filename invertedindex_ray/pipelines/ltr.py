@@ -21,12 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 from invertedindex_ray.config import IndexConfig
-from invertedindex_ray.pipelines.analytics import NOSTEM, _tokenized
-from invertedindex_ray.pipelines.batch_query import (
-    _matching_postings_fn,
-    batch_topk,
-    parse_queries,
-)
+from invertedindex_ray.pipelines.analytics import NOSTEM
+from invertedindex_ray.pipelines.batch_query import batch_topk, parse_queries
 
 LTR_SCHEMA = pa.schema(
     [
@@ -45,15 +41,15 @@ LTR_SCHEMA = pa.schema(
 
 def ltr_features(
     sf_dir: str,
-    queries: list[tuple[str, str]] | None,
+    queries: list[tuple[str, str]],
     k: int = 20,
     cfg: IndexConfig = NOSTEM,
 ) -> pa.Table:
     """(qid, doc_id, bm25_r, rank, n_hit, sum_tf, max_tf, min_df,
     doc_len): one feature row per BM25 top-k candidate."""
-    import pandas as pd
-
-    cand = batch_topk(sf_dir, queries, k=k, cfg=cfg)
+    cand, post, df_map = batch_topk(
+        sf_dir, queries, k=k, cfg=cfg, return_internals=True
+    )
     if cand.num_rows == 0:
         return LTR_SCHEMA.empty_table()
     cand_pairs = frozenset(
@@ -63,24 +59,13 @@ def ltr_features(
         )
     )
 
+    # the matched-postings Dataset and df map come straight from
+    # batch_topk's internals — no second corpus tokenize/semi-join pass
     parsed = parse_queries(queries, cfg)
     term_to_queries: dict[str, list[str]] = {}
     for qid, _qtype, terms in parsed:
         for t in terms:
             term_to_queries.setdefault(t, []).append(qid)
-    term_set = frozenset(term_to_queries)
-
-    post = _tokenized(sf_dir, cfg).map_batches(
-        _matching_postings_fn(term_set), batch_format="pyarrow"
-    ).materialize()
-
-    # df over the (few) query terms — the same tiny shuffle batch_topk does
-    from ray.data.aggregate import Count
-
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in post.groupby("term").aggregate(Count(alias_name="df")).take_all()
-    }
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()

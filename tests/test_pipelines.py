@@ -2671,3 +2671,49 @@ class TestLTRFeatures:
             assert r["max_tf"] == max(hits.values())
             assert r["min_df"] == min(df[t] for t in hits)
             assert r["doc_len"] == sum(tfm.values())
+
+
+class TestFunnelOracleNullParity:
+    def test_sql_mirror_drops_null_ts_step1(self, tmp_path):
+        """The funnel oracle's s1 CTE must not count a user whose only
+        step-1 events have NULL ts (review finding: min over all-NULL
+        still forms a GROUP BY group)."""
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from invertedindex_ray.pipelines.relational import funnel_counts
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pa.array(
+                    [None, base, base + dt.timedelta(hours=1)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase"], type=pa.string()
+                ),
+                "value": pa.array([0.0] * 3, type=pa.float64()),
+                "props": pa.array(["{}"] * 3, type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        sql = entrymod.oracle_sql()["funnel_counts"]
+        want = con.sql(sql).df().sort_values("step")["n_users"].tolist()
+        got = (
+            _pdf(funnel_counts(str(tmp_path)))
+            .sort_values("step")["n_users"]
+            .tolist()
+        )
+        assert want == got == [0, 0, 0]
