@@ -358,6 +358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).retention_cohorts(sf),
+        # --- first-order Markov transition counts over event streams ---
+        "event_transitions": lambda sf: __import__(
+            "invertedindex_ray.pipelines.relational", fromlist=["x"]
+        ).event_transitions(sf),
         "json_props": lambda sf: __import__(
             "invertedindex_ray.pipelines.relational", fromlist=["x"]
         ).json_props(sf),
@@ -2155,6 +2159,22 @@ SELECT f.cohort_day::TIMESTAMP AS cohort_day,
        date_diff('day', f.cohort_day, u.d)::BIGINT AS day_offset,
        count(*)::BIGINT AS n_users
 FROM ud u JOIN fd f USING (user_id)
+GROUP BY 1, 2""",
+        # first-order transitions: lag() per user ordered by (ts,
+        # event_id); NULL ts drops, first event per user has no prev
+        "event_transitions": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM e
+)
+SELECT prev_type, next_type, count(*)::BIGINT AS n
+FROM p WHERE prev_type IS NOT NULL
 GROUP BY 1, 2""",
         "json_props": (
             "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"

@@ -712,3 +712,108 @@ def retention_cohorts(sf_dir: str):
         )
 
     return summed.map_batches(to_ts, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- transitions
+
+
+def event_transitions(sf_dir: str):
+    """(prev_type, next_type, n): first-order Markov transition counts
+    over each user's time-ordered event stream (ties broken by
+    event_id, NULL timestamps dropped) — the session-flow diagnostic
+    behind funnel design ("what actually follows a view?").
+
+    Scale shape: one user-hash keyed reduction — a user's events
+    colocate, so each partition lexsorts its rows once by (user, ts,
+    event_id), takes adjacent pairs within user runs, and collapses
+    them to per-partition (prev, next, n_p) partials (<= #types^2
+    rows); the driver sums <= partitions x #types^2 integers. No
+    per-user Python loop, no whale-key exposure beyond the
+    one-partition-per-32nd-of-events bound shared with funnel_counts."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+
+    slim_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.int64()),
+         ("event_id", pa.int64()), ("event_type", pa.string())]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return slim_schema.empty_table()
+        ts = batch["ts"].to_numpy(zero_copy_only=False).view("int64")
+        keep = ts != np.iinfo(np.int64).min  # NaT drops
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "ts": pa.array(ts[keep], type=pa.int64()),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "event_type": pa.array(
+                    np.asarray(batch["event_type"].to_pylist(), dtype=object)[
+                        keep
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()),
+         ("n_p", pa.int64())]
+    )
+
+    def pairs_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        if len(uid) < 2:
+            return pd.DataFrame(
+                {"prev_type": [], "next_type": [], "n_p": []}
+            ).astype({"prev_type": object, "next_type": object, "n_p": np.int64})
+        same_user = uid[1:] == uid[:-1]
+        prev = et[:-1][same_user]
+        nxt = et[1:][same_user]
+        codes_p, types_p = pd.factorize(prev, sort=False)
+        codes_n, types_n = pd.factorize(nxt, sort=False)
+        key = codes_p.astype(np.int64) * len(types_n) + codes_n
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "prev_type": types_p[uniq // len(types_n)],
+                "next_type": types_n[uniq % len(types_n)],
+                "n_p": cnt.astype(np.int64),
+            }
+        )
+
+    parts = grouped_partitions(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        pairs_per_user,
+        part_schema,
+    )
+    # <= partitions x #types^2 rows: bounded driver-side sum
+    agg: dict = {}
+    for r in parts.take_all():
+        key = (r["prev_type"], r["next_type"])
+        agg[key] = agg.get(key, 0) + int(r["n_p"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "prev_type": pa.array([k[0] for k in keys], type=pa.string()),
+            "next_type": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([agg[k] for k in keys], type=pa.int64()),
+        }
+    )

@@ -2717,3 +2717,60 @@ class TestFunnelOracleNullParity:
             .tolist()
         )
         assert want == got == [0, 0, 0]
+
+
+class TestEventTransitions:
+    def test_recompute(self):
+        """Transition counts recompute from a per-user sorted replay."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import event_transitions
+
+        t = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).to_pandas()
+        t = t.dropna(subset=["ts"]).sort_values(["user_id", "ts", "event_id"])
+        want: Counter = Counter()
+        for _, g in t.groupby("user_id"):
+            et = g["event_type"].tolist()
+            for a, b in zip(et, et[1:]):
+                want[(a, b)] += 1
+
+        got = _pdf(event_transitions(SF))
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert want[(r["prev_type"], r["next_type"])] == r["n"]
+        # totals conserve: sum = events - users (one headless event each)
+        n_users = t["user_id"].nunique()
+        assert got["n"].sum() == len(t) - n_users
+
+    def test_single_event_users(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.relational import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pa.array(
+                    [base, base, base + dt.timedelta(hours=1)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 2, 2], type=pa.int64()),
+                "event_type": pa.array(["view", "view", "click"], type=pa.string()),
+                "value": pa.array([0.0] * 3, type=pa.float64()),
+                "props": pa.array(["{}"] * 3, type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = _pdf(event_transitions(str(tmp_path)))
+        # user 1 contributes nothing; user 2: view -> click once
+        assert len(got) == 1
+        assert got.iloc[0].tolist() == ["view", "click", 1]
