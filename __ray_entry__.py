@@ -398,6 +398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: curation.stratified_sample(sf),
         "mix_rebalance": lambda sf: curation.mix_rebalance(sf),
         "source_stats": lambda sf: curation.source_stats(sf),
+        # --- language x source mixing matrix (labeled lang column) ---
+        "lang_source_matrix": lambda sf: curation.lang_source_matrix(sf),
+        # --- per-source length percent_rank (normalized mix signal) ---
+        "length_percentile": lambda sf: curation.length_percentile(sf),
         # manifest-only here (out_dir=None): the write path + readback
         # parity is pytest-covered; the manifest math is SQL-checked
         "export_shards": lambda sf: curation.export_shards(
@@ -1867,6 +1871,17 @@ SELECT d.doc_id,
        round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
 FROM dw d JOIN n USING (doc_id)
 GROUP BY d.doc_id, n.n""",
+        "lang_source_matrix": """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_t
+FROM documents GROUP BY lang, source""",
+        # percent_rank = (count strictly smaller)/(n-1) within source,
+        # 0.0 for a single-row source — DuckDB's window semantics
+        "length_percentile": """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pct_r
+FROM documents""",
         "source_jaccard": """
 WITH st AS (
   SELECT DISTINCT source, w AS term FROM (

@@ -15,9 +15,21 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def hash_strings(values) -> np.ndarray:
-    """uint64 hash per string (deterministic)."""
+    """uint64 hash per string — content-deterministic for ANY string,
+    including embedded NUL bytes. ``categorize=False`` is load-bearing:
+    the categorize path factorizes through pandas' C string hashtable,
+    which treats char* as NUL-terminated, so a string containing
+    ``\\x00`` gets the hash of whichever NUL-truncated sibling
+    factorize saw first — i.e. a hash that depends on the BATCH, not
+    the value. That silently splits one key across partitions in the
+    keyed reductions (found via lang_source_matrix; web text can
+    legally contain U+0000, so dedup shingles were exposed too).
+    categorize=False hashes each value directly: identical uint64s for
+    NUL-free strings (all existing oracles keep their partitioning),
+    ~1.3x slower on highly duplicated arrays, ~3x FASTER on
+    near-unique ones (measured: 148->199 ms and 549->165 ms per 1M)."""
     arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr)
+    return pd.util.hash_array(arr, categorize=False)
 
 
 def term_bucket(terms, parts, num_buckets: int) -> np.ndarray:

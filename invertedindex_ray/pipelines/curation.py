@@ -753,3 +753,157 @@ def mix_rebalance(sf_dir: str, weights: dict[str, float] | None = None):
         )
 
     return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def lang_source_matrix(sf_dir: str):
+    """(lang, source, n_docs, n_chars_t): the language x source mixing
+    matrix — the first report a data-mixing job prints (which sources
+    supply which languages, by docs and by volume). Uses the documents
+    table's lang label column directly (the lang_id operator is its
+    heuristic twin for unlabeled corpora).
+
+    Scale shape: per-batch partial counts collapse each batch to at
+    most #langs x #sources rows; one keyed reduction sums them. Output
+    cardinality is the taxonomy product, never corpus rows."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import hash_strings
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("n_docs", pa.int64()), ("n_chars_t", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "source": batch["source"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "source"], dropna=False, as_index=False).agg(
+            n_docs=("n_chars", "size"), n_chars_t=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(part_schema)
+
+    def sum_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "source"], dropna=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars_t=("n_chars_t", "sum")
+        )
+
+    return grouped_partitions(
+        _docs(sf_dir, ["lang", "source", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: hash_strings(
+            [f"{l}\x00{s}" for l, s in zip(b["lang"].to_pylist(),
+                                           b["source"].to_pylist())]
+        )
+        & np.uint64(31),
+        sum_key,
+        part_schema,
+    )
+
+
+def length_percentile(sf_dir: str):
+    """(doc_id, source, n_chars, pct_r): each document's length
+    percent_rank WITHIN its source — the normalized signal mix-
+    threshold rules cut on ("drop the bottom decile per source", which
+    an absolute length cut gets wrong for short-form sources).
+    percent_rank semantics match SQL: (count of strictly smaller rows)
+    / (n_source - 1), 0.0 for a single-row source; ties share a rank.
+
+    Scale shape: the corpus never sorts. Per-batch partials collapse to
+    (source, n_chars, c) HISTOGRAM rows (distinct lengths x sources,
+    thousands — the length_quantiles argument); the driver builds
+    per-source cumulative maps from the gathered histogram and
+    broadcasts them once via ray.put; one map_batches pass emits the
+    per-doc row with a searchsorted lookup. Driver state is histogram-
+    sized, never corpus-sized."""
+    import pandas as pd
+    import ray
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    hist_schema = pa.schema(
+        [("source", pa.string()), ("n_chars", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hist_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False).cast(hist_schema)
+
+    def sum_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "n_chars"], as_index=False).agg(c=("c", "sum"))
+
+    hist = grouped_partitions(
+        _docs(sf_dir, ["source", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: hash_strings(b["source"].to_pylist()) & np.uint64(31),
+        sum_key,
+        hist_schema,
+    ).take_all()  # histogram-sized: distinct lengths x sources
+
+    # per-source (sorted values, cum-smaller counts, n)
+    maps: dict = {}
+    by_src: dict = {}
+    for r in hist:
+        by_src.setdefault(r["source"], []).append((int(r["n_chars"]), int(r["c"])))
+    for s, rows in by_src.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cnts = np.array([c for _, c in rows], dtype=np.int64)
+        smaller = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        maps[s] = (vals, smaller, int(cnts.sum()))
+    ref = ray.put(maps)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_chars", pa.int64()), ("pct_r", pa.float64())]
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        m = ray.get(ref)
+        src = batch["source"].to_pylist()
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.zeros(len(src), dtype=np.float64)
+        for s in set(src):
+            vals, smaller, n = m[s]
+            idx = np.asarray([x == s for x in src], dtype=bool)
+            if n <= 1:
+                pct[idx] = 0.0
+                continue
+            pos = np.searchsorted(vals, nc[idx])
+            pct[idx] = smaller[pos] / float(n - 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                "source": pa.array(src, type=pa.string()),
+                "n_chars": pa.array(nc, type=pa.int64()),
+                "pct_r": pa.array(round_half_up(pct, 6), type=pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    )

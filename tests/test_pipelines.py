@@ -2774,3 +2774,75 @@ class TestEventTransitions:
         # user 1 contributes nothing; user 2: view -> click once
         assert len(got) == 1
         assert got.iloc[0].tolist() == ["view", "click", 1]
+
+
+class TestLangSourceMatrix:
+    def test_recompute(self):
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import lang_source_matrix
+
+        t = pq.read_table(
+            f"{SF}/documents.parquet", columns=["lang", "source", "n_chars"]
+        ).to_pandas()
+        want = t.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), n_chars_t=("n_chars", "sum")
+        )
+        got = _pdf(lang_source_matrix(SF))
+        assert len(got) == len(want)
+        m = got.merge(want, on=["lang", "source"], suffixes=("_g", "_w"))
+        assert len(m) == len(want)
+        assert (m["n_docs_g"] == m["n_docs_w"]).all()
+        assert (m["n_chars_t_g"] == m["n_chars_t_w"]).all()
+
+    def test_hash_strings_nul_determinism(self):
+        """Regression: hash_strings must be content-deterministic for
+        strings with embedded NUL — the categorize path hashed them
+        batch-dependently (pandas factorize truncates at \\x00), which
+        split one key across partitions in keyed reductions."""
+        import numpy as np
+
+        from invertedindex_ray.functions.hashing import hash_strings
+
+        keys = [f"de\x00src{i}" for i in range(20)] + ["fr\x00src1"]
+        batch = hash_strings(keys)
+        single = np.array([hash_strings([k])[0] for k in keys])
+        assert (batch == single).all()
+        assert len(set(batch.tolist())) == len(keys)  # all distinct
+
+
+class TestLengthPercentile:
+    def test_matches_pandas_percent_rank(self):
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import length_percentile
+
+        t = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).to_pandas()
+        # SQL percent_rank = (count strictly smaller) / (n - 1)
+        t["want"] = (
+            t.groupby("source")["n_chars"].rank(method="min") - 1
+        ) / (t.groupby("source")["n_chars"].transform("size") - 1)
+        got = _pdf(length_percentile(SF)).set_index("doc_id")
+        for _, r in t.iterrows():
+            assert abs(got.loc[r["doc_id"], "pct_r"] - r["want"]) < 1e-6
+
+    def test_single_row_source(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import length_percentile
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "b", "b"],
+                "n_chars": [100, 5, 10],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(length_percentile(str(tmp_path))).set_index("doc_id")
+        assert got.loc[1, "pct_r"] == 0.0  # single-row source
+        assert got.loc[2, "pct_r"] == 0.0
+        assert got.loc[3, "pct_r"] == 1.0
