@@ -2846,3 +2846,29 @@ class TestLengthPercentile:
         assert got.loc[1, "pct_r"] == 0.0  # single-row source
         assert got.loc[2, "pct_r"] == 0.0
         assert got.loc[3, "pct_r"] == 1.0
+
+
+class TestNulTextDedup:
+    def test_minhash_pairs_with_nul_text(self, tmp_path):
+        """End-to-end NUL regression: two documents whose shared text
+        contains an embedded NUL byte must still collide in MinHash-LSH
+        (the categorize-path hash made NUL shingles batch-dependent)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.dedup import minhash_lsh_pairs
+
+        body = ("the quick brown\x00fox jumps over the lazy dog and keeps "
+                "running through the field " * 6)
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [body, body + " tiny tail", "completely different "
+                         "words about another topic entirely " * 8],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(minhash_lsh_pairs(str(tmp_path), threshold=0.5))
+        pairs = set(zip(got["doc_a"], got["doc_b"])) if len(got) else set()
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
