@@ -328,6 +328,37 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         queries["phrase_indexed"] = round(time.time() - t0, 3)
         detail["phrase_indexed_rows"] = int(n)
 
+    if "curation" in components:
+        # Gopher rule pass over the FULL bench corpus (200 K docs at
+        # sf0.1) — representative of the zero-shuffle text-analysis
+        # family (quality_score, lang_id, token counts share the shape)
+        from invertedindex_ray.pipelines.textstats import gopher_quality
+
+        docs_dir = ensure_docs_dir()
+        t0 = time.time()
+        n = gopher_quality(docs_dir).count()
+        queries["gopher_quality"] = round(time.time() - t0, 3)
+        detail["gopher_docs"] = int(n)
+
+    if "events" in components:
+        # event-analytics family over the sf events table: strict
+        # funnel + first-order transitions (both user-hash keyed
+        # reductions with bounded driver sums)
+        from invertedindex_ray.pipelines.relational import (
+            event_transitions,
+            funnel_counts,
+        )
+
+        t0 = time.time()
+        funnel_counts(sf_dir)
+        queries["funnel"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        tr = event_transitions(sf_dir)
+        queries["transitions"] = round(time.time() - t0, 3)
+        detail["transition_pairs"] = int(
+            sum(tr["n"].to_pylist())
+        )
+
     if "dedup_minhash_big" in components:
         # the minhash pipeline at a size where the shuffle (not operator
         # startup) dominates — the scaling-evidence twin of dedup_minhash
@@ -440,6 +471,7 @@ if __name__ == "__main__":
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
             "BENCH_COMPONENTS",
-            "build,daat,serve,topk_batch,dedup_minhash,ann,passages,positional",
+            "build,daat,serve,topk_batch,dedup_minhash,ann,passages,"
+            "positional,curation,events",
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))
