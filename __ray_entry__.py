@@ -314,6 +314,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_source": lambda sf: textstats.top_terms_by_source(sf),
         # --- pairwise source vocabulary Jaccard (bitmask reduction) ---
         "source_jaccard": lambda sf: textstats.source_jaccard(sf),
+        # --- one-row vocabulary health diagnostic ---
+        "vocab_stats": lambda sf: __import__(
+            "invertedindex_ray.pipelines.sketches", fromlist=["x"]
+        ).vocab_stats(sf),
+        # --- corpus-frequency boilerplate line removal ---
+        "boilerplate_lines": lambda sf: curation.boilerplate_lines(sf, min_df=2),
         # --- per-doc unigram Shannon entropy (lexical diversity) ---
         "token_entropy": lambda sf: textstats.token_entropy(sf),
         "bigram_xent": lambda sf: textstats.bigram_xent(sf),
@@ -1871,6 +1877,38 @@ SELECT d.doc_id,
        round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
 FROM dw d JOIN n USING (doc_id)
 GROUP BY d.doc_id, n.n""",
+        "vocab_stats": """
+WITH tk AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY w)
+SELECT sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_terms,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS hapax_ratio_r,
+       round(count(*)::DOUBLE / sum(n), 6) AS ttr_r
+FROM c""",
+        # boilerplate: a VERBATIM line in >= min_df distinct docs is cut
+        "boilerplate_lines": """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+         generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS i
+  FROM documents
+),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+flag AS (
+  SELECT l.doc_id, l.line, l.i, (d.df >= 2) AS boiler
+  FROM l JOIN df d USING (line)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+                           ORDER BY i), '') AS text_clean
+FROM flag GROUP BY doc_id""",
         "lang_source_matrix": """
 SELECT lang, source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS n_chars_t

@@ -907,3 +907,137 @@ def length_percentile(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
         per_doc, batch_format="pyarrow"
     )
+
+
+#: Bound on the broadcast boilerplate-line set (~40 MB of uint64 at the
+#: default). Real boilerplate (headers, footers, cookie banners) is a
+#: bounded set by nature; hitting this bound means the threshold is
+#: catching body text, not boilerplate.
+BOILERPLATE_MAX_LINES = 5_000_000
+
+
+def boilerplate_lines(sf_dir: str, *, min_df: int = 2):
+    """(doc_id, n_lines, n_removed, text_clean): corpus-frequency line
+    removal — the classic CommonCrawl boilerplate cleaner: any line
+    (verbatim, newline-split) appearing in >= ``min_df`` DISTINCT
+    documents is cut from every document; survivors re-join with
+    newlines. The corpus-level sibling of the per-line C4 rules in
+    :func:`c4_line_filter`.
+
+    Scale shape: the shuffle moves only 16 B (line-hash, 1) rows after
+    a per-doc dedupe (a doc sits whole in one batch row, so one pass
+    dedupes its repeated lines); one keyed reduction computes each
+    line's doc frequency; the flagged set (a bounded artifact — real
+    boilerplate is headers/footers/banners) is broadcast once via
+    ray.put, failing LOUDLY above :data:`BOILERPLATE_MAX_LINES`; the
+    rewrite pass is then zero-shuffle. md5-keyed so the DuckDB mirror
+    reproduces the grouping (collision odds ~2^-63, the passage_dedup
+    assumption)."""
+    import pandas as pd
+    import ray
+
+    from invertedindex_ray.functions.grouping import grouped_partitions
+
+    hash_schema = pa.schema([("h", pa.int64()), ("c", pa.int64())])
+
+    def line_hashes(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        text = _str_col(batch, "text")
+        lines = pc.split_pattern(text, "\n")
+        lines = (
+            lines.combine_chunks()
+            if isinstance(lines, pa.ChunkedArray)
+            else lines
+        )
+        return lines
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hash_schema.empty_table()
+        lines = line_hashes(batch)
+        flat = lines.values.to_pylist()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ix = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        h = md5_hash63(flat)
+        # per-doc dedupe: a line counted once per containing doc
+        key = np.stack([doc_ix, h.view(np.int64)], axis=1)
+        uniq = np.unique(key, axis=0)
+        hu, cnt = np.unique(uniq[:, 1], return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu, type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def sum_df(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        c = g["c"].to_numpy()
+        hu, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        keep = tot >= min_df
+        return pd.DataFrame({"h": hu[keep], "c": tot[keep]})
+
+    flagged_rows = grouped_partitions(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        lambda b: b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        & np.uint64(31),
+        sum_df,
+        hash_schema,
+    ).take_all()
+    if len(flagged_rows) > BOILERPLATE_MAX_LINES:
+        raise ValueError(
+            f"boilerplate_lines: {len(flagged_rows)} distinct lines cross "
+            f"min_df={min_df}, above the broadcast bound of "
+            f"{BOILERPLATE_MAX_LINES}. A flagged set this large is body "
+            "text, not boilerplate — raise min_df, or restructure as a "
+            "hash-join rewrite (the passage_dedup deletion-join shape)."
+        )
+    boiler = frozenset(int(r["h"]) for r in flagged_rows)
+    ref = ray.put(boiler)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_lines", pa.int64()),
+         ("n_removed", pa.int64()), ("text_clean", pa.string())]
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        bset = ray.get(ref)
+        lines = line_hashes(batch)
+        flat = lines.values.to_pylist()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_hash63(flat)
+        bad = np.fromiter(
+            (int(x) in bset for x in h), dtype=bool, count=len(h)
+        )
+        n_lines = np.diff(offs)
+        n_removed = np.add.reduceat(
+            np.concatenate((bad.astype(np.int64), [0])), offs[:-1]
+        )
+        n_removed[n_lines == 0] = 0
+        clean = [
+            "\n".join(
+                l
+                for l, b in zip(flat[offs[i]: offs[i + 1]],
+                                bad[offs[i]: offs[i + 1]])
+                if not b
+            )
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_lines": pa.array(n_lines.astype(np.int64), type=pa.int64()),
+                "n_removed": pa.array(n_removed, type=pa.int64()),
+                "text_clean": pa.array(clean, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rewrite, batch_format="pyarrow"
+    )

@@ -406,3 +406,66 @@ def zipf_slope(sf_dir: str, n: int = 1000):
             "intercept_r": pa.array([intercept], type=pa.float64()),
         }
     )
+
+
+def vocab_stats(sf_dir: str):
+    """(n_tokens, n_terms, n_hapax, hapax_ratio_r, ttr_r): one-row
+    vocabulary health diagnostic — token count, distinct-term count,
+    hapax legomena (terms occurring exactly once; their share rises
+    with noise/OCR garbage and falls with duplication) and the
+    type-token ratio. Terms are the lowered ``[^a-z0-9]+`` splits (the
+    top_terms convention).
+
+    Scale shape: per-batch partial counts, ONE vocabulary-hash keyed
+    reduction — each term lives in exactly one partition, so the
+    partition's (n_terms_p, n_hapax_p, n_tokens_p) partials are exact
+    and the driver sums <= n_partitions rows. The vocabulary itself
+    never leaves the cluster."""
+    import pandas as pd
+
+    from invertedindex_ray.functions.hashing import hash_strings
+    from invertedindex_ray.functions.rounding import round_half_up
+    from invertedindex_ray.pipelines.dedup import _grouped_partitions
+
+    part_schema = pa.schema(
+        [("n_terms", pa.int64()), ("n_hapax", pa.int64()),
+         ("n_tokens", pa.int64())]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _terms = pd.factorize(g["term"].to_numpy(), sort=False)
+        tot = np.bincount(codes, weights=g["n_p"].to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_terms": [len(tot)],
+                "n_hapax": [int((tot == 1).sum())],
+                "n_tokens": [int(tot.sum())],
+            }
+        )
+
+    rows = _grouped_partitions(
+        _read_docs(sf_dir).map_batches(
+            _batch_term_counts, batch_format="pyarrow"
+        ),
+        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        per_partition,
+        part_schema,
+    ).take_all()  # <= n_partitions rows
+    n_terms = sum(int(r["n_terms"]) for r in rows)
+    n_hapax = sum(int(r["n_hapax"]) for r in rows)
+    n_tokens = sum(int(r["n_tokens"]) for r in rows)
+    hapax = n_hapax / n_terms if n_terms else 0.0
+    ttr = n_terms / n_tokens if n_tokens else 0.0
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "n_terms": pa.array([n_terms], type=pa.int64()),
+            "n_hapax": pa.array([n_hapax], type=pa.int64()),
+            "hapax_ratio_r": pa.array(
+                round_half_up(np.array([hapax]), 6), type=pa.float64()
+            ),
+            "ttr_r": pa.array(
+                round_half_up(np.array([ttr]), 6), type=pa.float64()
+            ),
+        }
+    )

@@ -2872,3 +2872,79 @@ class TestNulTextDedup:
         pairs = set(zip(got["doc_a"], got["doc_b"])) if len(got) else set()
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
+
+
+class TestBoilerplateVocab:
+    def test_boilerplate_rules(self, tmp_path):
+        """A line shared by >= min_df docs is cut everywhere; unique
+        lines survive; counts are per-doc."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import boilerplate_lines
+
+        footer = "copyright example corp all rights reserved"
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"unique first line\n{footer}",
+                    f"another body line\n{footer}\nsecond body line",
+                    "totally unique document",
+                ],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(boilerplate_lines(str(tmp_path), min_df=2)).set_index(
+            "doc_id"
+        )
+        assert got.loc[1, "n_removed"] == 1
+        assert got.loc[1, "text_clean"] == "unique first line"
+        assert got.loc[2, "n_removed"] == 1
+        assert got.loc[2, "text_clean"] == "another body line\nsecond body line"
+        assert got.loc[3, "n_removed"] == 0
+        assert got.loc[3, "text_clean"] == "totally unique document"
+        # a line repeated INSIDE one doc but nowhere else is NOT boiler
+        docs2 = pa.table(
+            {"doc_id": [1], "text": ["same line\nsame line\nother"]}
+        )
+        pq.write_table(docs2, str(tmp_path / "documents.parquet"))
+        got2 = _pdf(boilerplate_lines(str(tmp_path), min_df=2))
+        assert got2["n_removed"].iloc[0] == 0
+
+    def test_boilerplate_broadcast_guard(self, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from invertedindex_ray.pipelines import curation
+
+        docs = pa.table(
+            {"doc_id": [1, 2], "text": ["shared line", "shared line"]}
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        monkeypatch.setattr(curation, "BOILERPLATE_MAX_LINES", 0)
+        with pytest.raises(ValueError, match="broadcast bound"):
+            curation.boilerplate_lines(str(tmp_path), min_df=2)
+
+    def test_vocab_stats_recompute(self):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.sketches import vocab_stats
+
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+            "text"
+        ].to_pylist()
+        cnt = Counter()
+        for t in texts:
+            cnt.update(w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w)
+        got = _pdf(vocab_stats(SF))
+        assert got["n_terms"].iloc[0] == len(cnt)
+        assert got["n_tokens"].iloc[0] == sum(cnt.values())
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        assert got["n_hapax"].iloc[0] == n_hapax
+        assert abs(got["hapax_ratio_r"].iloc[0] - n_hapax / len(cnt)) < 1e-6
+        assert abs(got["ttr_r"].iloc[0] - len(cnt) / sum(cnt.values())) < 1e-6
