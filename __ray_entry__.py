@@ -2217,7 +2217,8 @@ GROUP BY 1, 2""",
         # event_id); NULL ts drops, first event per user has no prev
         "event_transitions": """
 WITH e AS (
-  SELECT user_id, ts, event_id, event_type FROM events WHERE ts IS NOT NULL
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 p AS (
   SELECT event_type AS next_type,

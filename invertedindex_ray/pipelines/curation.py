@@ -844,18 +844,26 @@ def length_percentile(sf_dir: str):
                 "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
             }
         )
-        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        # dropna=False: a NULL source is its own percent_rank partition
+        # (matching SQL's PARTITION BY; sibling lang_source_matrix rule)
+        g = df.groupby(["source", "n_chars"], dropna=False,
+                       as_index=False).size()
         g = g.rename(columns={"size": "c"})
         return pa.Table.from_pandas(g, preserve_index=False).cast(hist_schema)
 
     def sum_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["source", "n_chars"], as_index=False).agg(c=("c", "sum"))
+        return g.groupby(["source", "n_chars"], dropna=False,
+                         as_index=False).agg(c=("c", "sum"))
 
     hist = grouped_partitions(
         _docs(sf_dir, ["source", "n_chars"]).map_batches(
             partial, batch_format="pyarrow"
         ),
-        lambda b: hash_strings(b["source"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(
+            [s if s is not None else "\x00<null>" for s in
+             b["source"].to_pylist()]
+        )
+        & np.uint64(31),
         sum_key,
         hist_schema,
     ).take_all()  # histogram-sized: distinct lengths x sources
@@ -885,9 +893,15 @@ def length_percentile(sf_dir: str):
         src = batch["source"].to_pylist()
         nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         pct = np.zeros(len(src), dtype=np.float64)
-        for s in set(src):
-            vals, smaller, n = m[s]
-            idx = np.asarray([x == s for x in src], dtype=bool)
+        # one factorize, then vectorized per-source masks (no Python
+        # comparison per row x source)
+        codes, uniques = pd.factorize(
+            np.asarray(src, dtype=object), use_na_sentinel=False
+        )
+        for ci, s in enumerate(uniques):
+            key = s if not pd.isna(s) else None
+            vals, smaller, n = m[key]
+            idx = codes == ci
             if n <= 1:
                 pct[idx] = 0.0
                 continue
@@ -996,7 +1010,16 @@ def boilerplate_lines(sf_dir: str, *, min_df: int = 2):
             "text, not boilerplate — raise min_df, or restructure as a "
             "hash-join rewrite (the passage_dedup deletion-join shape)."
         )
-    boiler = frozenset(int(r["h"]) for r in flagged_rows)
+    # sorted int64 array, NOT a set of Python ints: 8 B/entry (a 5M-hash
+    # set of boxed ints is ~10x that and re-unpickles per worker, while
+    # a numpy buffer is plasma zero-copy), membership via searchsorted
+    boiler = np.sort(
+        np.fromiter(
+            (int(r["h"]) for r in flagged_rows),
+            dtype=np.int64,
+            count=len(flagged_rows),
+        )
+    )
     ref = ray.put(boiler)
 
     out_schema = pa.schema(
@@ -1011,10 +1034,13 @@ def boilerplate_lines(sf_dir: str, *, min_df: int = 2):
         lines = line_hashes(batch)
         flat = lines.values.to_pylist()
         offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = md5_hash63(flat)
-        bad = np.fromiter(
-            (int(x) in bset for x in h), dtype=bool, count=len(h)
-        )
+        h = md5_hash63(flat).view(np.int64)
+        if len(bset):
+            pos = np.searchsorted(bset, h)
+            pos = np.minimum(pos, len(bset) - 1)
+            bad = bset[pos] == h
+        else:
+            bad = np.zeros(len(h), dtype=bool)
         n_lines = np.diff(offs)
         n_removed = np.add.reduceat(
             np.concatenate((bad.astype(np.int64), [0])), offs[:-1]

@@ -47,8 +47,9 @@ def ltr_features(
 ) -> pa.Table:
     """(qid, doc_id, bm25_r, rank, n_hit, sum_tf, max_tf, min_df,
     doc_len): one feature row per BM25 top-k candidate."""
+    parsed = parse_queries(queries, cfg)
     cand, post, df_map = batch_topk(
-        sf_dir, queries, k=k, cfg=cfg, return_internals=True
+        sf_dir, None, k=k, cfg=cfg, parsed=parsed, return_internals=True
     )
     if cand.num_rows == 0:
         return LTR_SCHEMA.empty_table()
@@ -60,8 +61,8 @@ def ltr_features(
     )
 
     # the matched-postings Dataset and df map come straight from
-    # batch_topk's internals — no second corpus tokenize/semi-join pass
-    parsed = parse_queries(queries, cfg)
+    # batch_topk's internals — no second corpus tokenize/semi-join pass,
+    # and the query set parses exactly once (threaded in via parsed=)
     term_to_queries: dict[str, list[str]] = {}
     for qid, _qtype, terms in parsed:
         for t in terms:

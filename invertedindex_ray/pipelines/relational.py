@@ -743,7 +743,13 @@ def event_transitions(sf_dir: str):
         if batch.num_rows == 0:
             return slim_schema.empty_table()
         ts = batch["ts"].to_numpy(zero_copy_only=False).view("int64")
-        keep = ts != np.iinfo(np.int64).min  # NaT drops
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        # NaT drops; NULL event types drop too (a NULL type forms its
+        # own lag() group in SQL and factorize's -1 code would decode
+        # into the wrong pair — the oracle pins both IS NOT NULL)
+        keep = (ts != np.iinfo(np.int64).min) & np.asarray(
+            [t is not None for t in et], dtype=bool
+        )
         return pa.table(
             {
                 "user_id": pa.array(
@@ -755,12 +761,7 @@ def event_transitions(sf_dir: str):
                     batch["event_id"].to_numpy(zero_copy_only=False)[keep],
                     type=pa.int64(),
                 ),
-                "event_type": pa.array(
-                    np.asarray(batch["event_type"].to_pylist(), dtype=object)[
-                        keep
-                    ],
-                    type=pa.string(),
-                ),
+                "event_type": pa.array(et[keep], type=pa.string()),
             }
         )
 

@@ -2948,3 +2948,64 @@ class TestBoilerplateVocab:
         assert got["n_hapax"].iloc[0] == n_hapax
         assert abs(got["hapax_ratio_r"].iloc[0] - n_hapax / len(cnt)) < 1e-6
         assert abs(got["ttr_r"].iloc[0] - len(cnt) / sum(cnt.values())) < 1e-6
+
+
+class TestReviewEdgeCases2:
+    def test_transitions_null_event_type(self, tmp_path):
+        """NULL event types drop both sides (factorize's -1 code would
+        decode into the wrong pair; the oracle pins IS NOT NULL)."""
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from invertedindex_ray.pipelines.relational import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pa.array(
+                    [base + dt.timedelta(hours=h) for h in range(3)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                "event_type": pa.array(["a", None, "b"], type=pa.string()),
+                "value": pa.array([0.0] * 3, type=pa.float64()),
+                "props": pa.array(["{}"] * 3, type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = _pdf(event_transitions(str(tmp_path)))
+        # NULL row drops entirely: a -> b is the only transition
+        assert len(got) == 1
+        assert got.iloc[0].tolist() == ["a", "b", 1]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        want = con.sql(entrymod.oracle_sql()["event_transitions"]).df()
+        assert len(want) == 1 and want["n"].iloc[0] == 1
+
+    def test_length_percentile_null_source(self, tmp_path):
+        """A NULL source is its own percent_rank partition (SQL
+        PARTITION BY semantics), not a KeyError."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.curation import length_percentile
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": pa.array(["a", "a", None, None], type=pa.string()),
+                "n_chars": [10, 20, 5, 15],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = _pdf(length_percentile(str(tmp_path))).set_index("doc_id")
+        assert got.loc[1, "pct_r"] == 0.0 and got.loc[2, "pct_r"] == 1.0
+        assert got.loc[3, "pct_r"] == 0.0 and got.loc[4, "pct_r"] == 1.0
