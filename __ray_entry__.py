@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(sf),
         "repetition_stats": lambda sf: textstats.repetition_stats(sf),
         "unigram_surprisal": lambda sf: textstats.unigram_surprisal(sf),
+        # --- CCNet-style head/middle/tail perplexity buckets ---
+        "surprisal_buckets": lambda sf: textstats.surprisal_buckets(sf),
         # --- per-source unigram-KL domain-shift diagnostic ---
         "source_kl": lambda sf: textstats.source_kl(sf),
         "top_terms_by_source": lambda sf: textstats.top_terms_by_source(sf),
@@ -2468,6 +2470,36 @@ SELECT doc_id, term, tfidf_r, rn::BIGINT AS rank FROM r WHERE rn <= 5
     # composite quality filter: reuse the quality + repetition mirrors as
     # subqueries and apply the SAME thresholds to the SAME 6-dp-rounded
     # signals (FILTER_RULES bit order, pipelines/textstats.quality_filter)
+    # bucket b's threshold = sorted-sample[ceil(b*n/3)-1] over the
+    # deterministic md5 bottom-1024 sample; ties stay in lower buckets
+    sql["surprisal_buckets"] = f"""
+WITH s AS ({{US}}),
+pr AS (
+  SELECT doc_id, surprisal_r,
+         (md5_number_lower(doc_id::VARCHAR || '#sb') >> 1)::BIGINT AS p
+  FROM s
+),
+samp AS (
+  SELECT surprisal_r FROM (
+    SELECT surprisal_r, row_number() OVER (ORDER BY p) AS rn FROM pr
+  ) WHERE rn <= 1024
+),
+st AS (
+  SELECT surprisal_r AS v,
+         row_number() OVER (ORDER BY surprisal_r) AS r,
+         count(*) OVER () AS n
+  FROM samp
+),
+thr AS (
+  SELECT max(CASE WHEN r = CAST(ceil(1 * n / 3.0) AS BIGINT) THEN v END) AS t1,
+         max(CASE WHEN r = CAST(ceil(2 * n / 3.0) AS BIGINT) THEN v END) AS t2
+  FROM st
+)
+SELECT s.doc_id, s.surprisal_r,
+       (1 + CASE WHEN s.surprisal_r > t.t1 THEN 1 ELSE 0 END
+          + CASE WHEN s.surprisal_r > t.t2 THEN 1 ELSE 0 END)::BIGINT AS bucket
+FROM s CROSS JOIN thr t
+""".replace("{US}", sql["unigram_surprisal"].strip())
     sql["quality_filter"] = f"""
 WITH q AS ({sql["quality_score"].strip()}),
 r AS ({sql["repetition_stats"].strip()}),

@@ -405,7 +405,8 @@ def run_scaling(sf_dir: str) -> dict:
     component = os.environ.get("BENCH_SCALE_COMPONENT", "build")
     # component name -> the key its timing lands under in queries{}
     qkey = {"passages": "dedup_passages",
-            "positional": "positional_build"}.get(component, component)
+            "positional": "positional_build",
+            "curation": "gopher_quality"}.get(component, component)
     lo, hi = levels
 
     def one(ncpu: int) -> dict:

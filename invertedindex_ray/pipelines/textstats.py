@@ -1886,3 +1886,93 @@ def source_jaccard(sf_dir: str):
             ),
         }
     )
+
+
+# --------------------------------------------------- surprisal buckets
+
+def surprisal_buckets(sf_dir: str, *, n_buckets: int = 3, k: int = 1024):
+    """(doc_id, surprisal_r, bucket): CCNet-style perplexity bucketing
+    (Wenzek et al. 2020): every document lands in a head/middle/tail
+    bucket (1..n_buckets) by its mean unigram surprisal relative to
+    corpus-level thresholds — the signal CCNet cuts on with a KenLM in
+    place of the unigram model. Bucket = 1 + #(thresholds strictly
+    below the doc's surprisal); ties stay in the lower bucket.
+
+    Thresholds come from a DETERMINISTIC bottom-k sample (md5 priority
+    over doc_id, the value_quantile_sample trick), so the operator is
+    exactly reproducible and fully SQL-mirrorable despite being
+    sample-based; threshold b = sample[ceil(b*n/n_buckets) - 1] over
+    the sorted sample. Scale shape: surprisal is the existing
+    hash-join pipeline; the sample pass keeps k rows per block and the
+    driver merges k values; the bucket pass is one zero-shuffle map
+    with the <= (n_buckets-1) thresholds in the closure."""
+    import math
+
+    import ray
+
+    from invertedindex_ray.functions.hashing import md5_hash63
+
+    sur = unigram_surprisal(sf_dir).materialize()
+
+    sample_schema = pa.schema([("p", pa.int64()), ("v", pa.float64())])
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return sample_schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        p = md5_hash63([f"{int(i)}#sb" for i in ids])
+        v = batch["surprisal_r"].to_numpy(zero_copy_only=False)
+        if len(p) > k:
+            keep = np.argpartition(p, k - 1)[:k]
+            p, v = p[keep], v[keep]
+        return pa.table(
+            {
+                "p": pa.array(p.astype(np.int64), type=pa.int64()),
+                "v": pa.array(v.astype(np.float64), type=pa.float64()),
+            }
+        )
+
+    rows = (
+        sur.map_batches(sample_partial, batch_format="pyarrow").take_all()
+    )  # <= k rows per block
+    if not rows:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "surprisal_r": pa.array([], type=pa.float64()),
+             "bucket": pa.array([], type=pa.int64())}
+        )
+    pr = np.array([r["p"] for r in rows], dtype=np.int64)
+    vv = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(pr) > k:
+        keep = np.argpartition(pr, k - 1)[:k]
+        vv = vv[keep]
+    s = np.sort(vv)
+    n = len(s)
+    thresholds = [
+        float(s[min(n - 1, math.ceil(b * n / n_buckets) - 1)])
+        for b in range(1, n_buckets)
+    ]
+    tref = ray.put(np.asarray(thresholds, dtype=np.float64))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("surprisal_r", pa.float64()),
+         ("bucket", pa.int64())]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        thr = ray.get(tref)
+        v = batch["surprisal_r"].to_numpy(zero_copy_only=False)
+        bucket = 1 + (v[:, None] > thr[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                "surprisal_r": pa.array(v, type=pa.float64()),
+                "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return sur.map_batches(assign, batch_format="pyarrow")

@@ -3009,3 +3009,36 @@ class TestReviewEdgeCases2:
         got = _pdf(length_percentile(str(tmp_path))).set_index("doc_id")
         assert got.loc[1, "pct_r"] == 0.0 and got.loc[2, "pct_r"] == 1.0
         assert got.loc[3, "pct_r"] == 0.0 and got.loc[4, "pct_r"] == 1.0
+
+
+class TestSurprisalBuckets:
+    def test_bucket_rule_recompute(self):
+        """Buckets recompute from the surprisal values and the
+        deterministic sample thresholds; roughly balanced terciles."""
+        import math
+
+        from invertedindex_ray.functions.hashing import md5_hash63
+        from invertedindex_ray.pipelines.textstats import (
+            surprisal_buckets,
+            unigram_surprisal,
+        )
+
+        sur = _pdf(unigram_surprisal(SF))
+        got = _pdf(surprisal_buckets(SF)).set_index("doc_id")
+        assert len(got) == len(sur)
+
+        p = md5_hash63([f"{int(i)}#sb" for i in sur["doc_id"]])
+        order = np.argsort(p)[:1024]
+        import numpy as _np
+
+        s = _np.sort(sur["surprisal_r"].to_numpy()[order])
+        n = len(s)
+        t1 = s[min(n - 1, math.ceil(n / 3) - 1)]
+        t2 = s[min(n - 1, math.ceil(2 * n / 3) - 1)]
+        for _, r in sur.iterrows():
+            want = 1 + (r["surprisal_r"] > t1) + (r["surprisal_r"] > t2)
+            assert got.loc[r["doc_id"], "bucket"] == want
+        # terciles are roughly balanced on a 500-doc corpus
+        counts = got["bucket"].value_counts()
+        assert set(counts.index) <= {1, 2, 3}
+        assert counts.min() > len(got) * 0.2
