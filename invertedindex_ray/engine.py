@@ -53,20 +53,21 @@ class PostingCursor:
     ``next_geq(d)`` advances to the first doc id >= d.
     """
 
-    __slots__ = ("term", "tub", "ids", "tfs", "pos", "doc_id", "tf")
+    __slots__ = ("term", "tub", "ids", "tfs", "pos", "doc_id", "tf", "n")
 
     def __init__(self, term: str, tub: float, ids: np.ndarray, tfs: np.ndarray):
         self.term = term
         self.tub = tub
         self.ids = ids
         self.tfs = tfs
+        self.n = len(ids)  # cached: next/next_geq are the hot loop
         self.pos = -1
         self.doc_id = -1
         self.tf = 0
 
     def next(self) -> bool:
         p = self.pos + 1
-        if p >= len(self.ids):
+        if p >= self.n:
             return False
         self.pos = p
         self.doc_id = int(self.ids[p])
@@ -74,15 +75,18 @@ class PostingCursor:
         return True
 
     def next_geq(self, target: int) -> bool:
-        if self.pos >= len(self.ids):
+        if self.pos >= self.n:
             return False
         if self.doc_id >= target:
             return True
-        i = int(np.searchsorted(self.ids, target, side="left"))
-        if i >= len(self.ids):
+        # bound ndarray method, NOT np.searchsorted: the fromnumeric
+        # dispatch wrapper costs more than the search itself at the
+        # ~600K-calls-per-query-batch rate of the sequential traversals
+        i = int(self.ids.searchsorted(target, "left"))
+        if i >= self.n:
             # exhausted: current stays at the last posting, like the
             # reference's while-next loop ending on hasNext == false
-            self.pos = len(self.ids) - 1
+            self.pos = self.n - 1
             self.doc_id = int(self.ids[-1])
             self.tf = int(self.tfs[-1])
             return False
@@ -955,8 +959,13 @@ class QueryEngine:
                 # postings per seek). Pre-pivot cursors can already sit
                 # ON pivot_doc (doc-id ties); next_geq would be a no-op
                 # on those, so they must not be chosen.
-                behind = [i for i in range(pivot) if live[i].doc_id < pivot_doc]
-                j = max(behind, key=lambda i: live[i].tub)
+                j = -1
+                best_tub = -1.0
+                for i in range(pivot):
+                    ci = live[i]
+                    if ci.doc_id < pivot_doc and ci.tub > best_tub:
+                        best_tub = ci.tub
+                        j = i
                 c = live.pop(j)
                 if c.next_geq(pivot_doc):
                     insort(live, c, key=lambda x: x.doc_id)
@@ -1043,8 +1052,13 @@ class QueryEngine:
                 if len(queue) < k or score > queue.last_score():
                     queue.add(pivot_doc, score)
             else:
-                behind = [i for i in range(pivot) if live[i].doc_id < pivot_doc]
-                j = max(behind, key=lambda i: live[i].tub)
+                j = -1
+                best_tub = -1.0
+                for i in range(pivot):
+                    ci = live[i]
+                    if ci.doc_id < pivot_doc and ci.tub > best_tub:
+                        best_tub = ci.tub
+                        j = i
                 c = live.pop(j)
                 if c.next_geq(pivot_doc):
                     insort(live, c, key=lambda x: x.doc_id)
