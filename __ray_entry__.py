@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passages": lambda sf: dedup.passage_dedup(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, k=3, tau=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        # --- MinHash quality probe vs exact Jaccard (recall family) ---
+        "dedup_minhash_eval": lambda sf: dedup.minhash_eval(sf),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, threshold=0.5),
         "dedup_filter": lambda sf: dedup.dedup_filter(sf, threshold=0.5),
         # --- quality-aware representative selection: keep the LONGEST
@@ -2500,6 +2502,24 @@ SELECT s.doc_id, s.surprisal_r,
           + CASE WHEN s.surprisal_r > t.t2 THEN 1 ELSE 0 END)::BIGINT AS bucket
 FROM s CROSS JOIN thr t
 """.replace("{US}", sql["unigram_surprisal"].strip())
+    # dedup quality probe: both sides are the existing oracled queries
+    sql["dedup_minhash_eval"] = """
+WITH E AS ({EX}),
+A AS ({AP}),
+b AS (SELECT count(*)::BIGINT AS n_both FROM E JOIN A USING (doc_a, doc_b)),
+ce AS (SELECT count(*)::BIGINT AS n_exact FROM E),
+ca AS (SELECT count(*)::BIGINT AS n_approx FROM A)
+SELECT ce.n_exact, ca.n_approx, b.n_both,
+       round(CASE WHEN ca.n_approx > 0
+                  THEN b.n_both::DOUBLE / ca.n_approx ELSE 0.0 END, 6)
+         AS precision_r,
+       round(CASE WHEN ce.n_exact > 0
+                  THEN b.n_both::DOUBLE / ce.n_exact ELSE 0.0 END, 6)
+         AS recall_r
+FROM ce, ca, b
+""".replace("{EX}", sql["dedup_ngram_jaccard"].strip()).replace(
+        "{AP}", sql["dedup_minhash_lsh"].strip()
+    )
     sql["quality_filter"] = f"""
 WITH q AS ({sql["quality_score"].strip()}),
 r AS ({sql["repetition_stats"].strip()}),

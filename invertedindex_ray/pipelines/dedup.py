@@ -1474,3 +1474,36 @@ def dedup_keep_best(sf_dir: str, **lsh_kw):
         )
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+def minhash_eval(sf_dir: str, *, k: int = 3, tau: float = 0.5,
+                 threshold: float = 0.5):
+    """(n_exact, n_approx, n_both, precision_r, recall_r): quality probe
+    of the MinHash-LSH near-dup path against the exact n-gram Jaccard
+    pairs — the dedup sibling of similarity.ann_ivf_recall. Both inputs
+    are the already-verified pipelines; the comparison is a driver-side
+    set intersection over their (bounded) pair sets."""
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    def pairs(ds) -> set:
+        # both pipelines return Datasets of (bounded) near-dup pairs
+        return {(int(r["doc_a"]), int(r["doc_b"])) for r in ds.take_all()}
+
+    ex = pairs(ngram_jaccard_pairs(sf_dir, k=k, tau=tau))
+    ap = pairs(minhash_lsh_pairs(sf_dir, threshold=threshold))
+    both = len(ex & ap)
+    precision = both / len(ap) if ap else 0.0
+    recall = both / len(ex) if ex else 0.0
+    return pa.table(
+        {
+            "n_exact": pa.array([len(ex)], type=pa.int64()),
+            "n_approx": pa.array([len(ap)], type=pa.int64()),
+            "n_both": pa.array([both], type=pa.int64()),
+            "precision_r": pa.array(
+                round_half_up(np.array([precision]), 6), type=pa.float64()
+            ),
+            "recall_r": pa.array(
+                round_half_up(np.array([recall]), 6), type=pa.float64()
+            ),
+        }
+    )

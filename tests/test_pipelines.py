@@ -3042,3 +3042,26 @@ class TestSurprisalBuckets:
         counts = got["bucket"].value_counts()
         assert set(counts.index) <= {1, 2, 3}
         assert counts.min() > len(got) * 0.2
+
+
+class TestMinhashEval:
+    def test_probe_values(self):
+        """The eval's counts recompute from the two pipelines' own pair
+        sets; on the synthetic corpus the banded LSH at threshold=0.5
+        finds every tau=0.5 exact-Jaccard pair."""
+        from invertedindex_ray.pipelines.dedup import (
+            minhash_eval,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        got = _pdf(minhash_eval(SF))
+        ex = {(int(r["doc_a"]), int(r["doc_b"]))
+              for r in ngram_jaccard_pairs(SF, k=3, tau=0.5).take_all()}
+        ap = {(int(r["doc_a"]), int(r["doc_b"]))
+              for r in minhash_lsh_pairs(SF, threshold=0.5).take_all()}
+        assert got["n_exact"].iloc[0] == len(ex)
+        assert got["n_approx"].iloc[0] == len(ap)
+        assert got["n_both"].iloc[0] == len(ex & ap)
+        assert 0.0 <= got["precision_r"].iloc[0] <= 1.0
+        assert got["recall_r"].iloc[0] >= 0.9  # near-identical dup pairs
