@@ -338,6 +338,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": lambda sf: textstats.dsir_select(sf, n=100),
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(sf, min_count=5, k=50),
         "length_quantiles": lambda sf: textstats.length_quantiles(sf),
+        # --- classic relational analytics over the TPC-H tables (the
+        #     largest test tables: wide-op demonstration — pushdown
+        #     reads, map-side partials, hash joins, bounded top-k) ---
+        "tpch_q1": lambda sf: __import__(
+            "invertedindex_ray.pipelines.tpch", fromlist=["x"]
+        ).q1_pricing_summary(sf),
+        "tpch_q6": lambda sf: __import__(
+            "invertedindex_ray.pipelines.tpch", fromlist=["x"]
+        ).q6_revenue(sf),
+        "tpch_q3": lambda sf: __import__(
+            "invertedindex_ray.pipelines.tpch", fromlist=["x"]
+        ).q3_top_orders(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_distinct_users": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1881,6 +1893,67 @@ SELECT d.doc_id,
        round(sum(-(d.tf / n.n) * ln(d.tf / n.n)), 6) AS entropy_r
 FROM dw d JOIN n USING (doc_id)
 GROUP BY d.doc_id, n.n""",
+        # TPC-H mirrors: every money column casts to exact integer
+        # cents per row, so SUMs are int-exact on both engines and the
+        # final divisions are the same IEEE ops on the same integers
+        "tpch_q1": """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty)::BIGINT AS sum_qty,
+       sum(pc)::DOUBLE / 100.0 AS sum_base_price_r,
+       sum(pc * (100 - dc))::DOUBLE / 10000.0 AS sum_disc_price_r,
+       sum(pc * (100 - dc) * (100 + tc))::DOUBLE / 1000000.0 AS sum_charge_r,
+       round(sum(qty)::DOUBLE / count(*), 6) AS avg_qty_r,
+       round(sum(pc)::DOUBLE / (100.0 * count(*)), 6) AS avg_price_r,
+       round(sum(dc)::DOUBLE / (100.0 * count(*)), 6) AS avg_disc_r,
+       count(*)::BIGINT AS count_order
+FROM r GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q6": """
+WITH r AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    AND l_quantity < 24
+)
+SELECT coalesce(sum(pc * dc), 0)::DOUBLE / 10000.0 AS revenue_r,
+       count(*)::BIGINT AS n_rows
+FROM r""",
+        "tpch_q3": """
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+),
+so AS (
+  SELECT o.o_orderkey, o.o_orderdate
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+),
+agg AS (
+  SELECT so.o_orderkey, so.o_orderdate, sum(r.rev)::BIGINT AS rev
+  FROM r JOIN so ON r.l_orderkey = so.o_orderkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY rev DESC, o_orderdate, o_orderkey) AS rank
+  FROM agg
+)
+SELECT o_orderkey, o_orderdate, rev::DOUBLE / 10000.0 AS revenue_r,
+       rank::BIGINT AS rank
+FROM rk WHERE rank <= 10""",
         "vocab_stats": """
 WITH tk AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w

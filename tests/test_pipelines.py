@@ -3065,3 +3065,81 @@ class TestMinhashEval:
         assert got["n_both"].iloc[0] == len(ex & ap)
         assert 0.0 <= got["precision_r"].iloc[0] <= 1.0
         assert got["recall_r"].iloc[0] >= 0.9  # near-identical dup pairs
+
+
+class TestTPCH:
+    def test_q1_recompute(self):
+        """Q1 aggregates recompute from a pandas pass with the same
+        exact-cents arithmetic."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.tpch import _ts_us, q1_pricing_summary
+
+        t = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        cut = _ts_us("1998-09-02")
+        t = t[t["l_shipdate"].astype("int64") <= cut]
+        pc = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        got = _pdf(q1_pricing_summary(SF)).set_index(
+            ["l_returnflag", "l_linestatus"]
+        )
+        grp = t.assign(pc=pc, dc=dc).groupby(["l_returnflag", "l_linestatus"])
+        for key, g in grp:
+            row = got.loc[key]
+            assert row["count_order"] == len(g)
+            assert row["sum_qty"] == int(g["l_quantity"].sum())
+            assert abs(row["sum_base_price_r"] - g["pc"].sum() / 100.0) < 1e-9
+            dpc = (g["pc"] * (100 - g["dc"])).sum()
+            assert abs(row["sum_disc_price_r"] - dpc / 10000.0) < 1e-6
+        assert got["count_order"].sum() == len(t)
+
+    def test_q6_recompute(self):
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.tpch import _ts_us, q6_revenue
+
+        t = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+        ship = t["l_shipdate"].astype("int64")
+        dc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        pc = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        keep = (
+            (ship >= lo).to_numpy() & (ship < hi).to_numpy()
+            & (dc >= 5) & (dc <= 7)
+            & (t["l_quantity"].to_numpy() < 24)
+        )
+        want = int((pc[keep] * dc[keep]).sum()) / 10000.0
+        got = _pdf(q6_revenue(SF))
+        assert got["n_rows"].iloc[0] == int(keep.sum())
+        assert abs(got["revenue_r"].iloc[0] - want) < 1e-9
+
+    def test_q3_join_chain(self):
+        """Q3's top order recomputes via pandas joins; ranks are dense
+        and revenue non-increasing."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.tpch import _ts_us, q3_top_orders
+
+        cut = _ts_us("1997-01-01")
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        ck = set(cust[cust.c_mktsegment == "BUILDING"]["c_custkey"])
+        o = orders[
+            (orders.o_custkey.isin(ck))
+            & (orders.o_orderdate.astype("int64") < cut)
+        ]
+        l = li[li.l_shipdate.astype("int64") > cut].copy()
+        l["rev"] = (
+            np.rint(l["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(l["l_discount"].to_numpy() * 100).astype(np.int64))
+        )
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        rev = m.groupby("o_orderkey")["rev"].sum().sort_values(ascending=False)
+        got = _pdf(q3_top_orders(SF))
+        assert len(got) == min(10, len(rev))
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+        v = got["revenue_r"].to_numpy()
+        assert (v[:-1] >= v[1:]).all()
+        assert got["o_orderkey"].iloc[0] == rev.index[0]
+        assert abs(got["revenue_r"].iloc[0] - rev.iloc[0] / 10000.0) < 1e-9
