@@ -350,6 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": lambda sf: __import__(
             "invertedindex_ray.pipelines.tpch", fromlist=["x"]
         ).q3_top_orders(sf),
+        "tpch_q5": lambda sf: __import__(
+            "invertedindex_ray.pipelines.tpch", fromlist=["x"]
+        ).q5_local_supplier_volume(sf),
+        "tpch_q14": lambda sf: __import__(
+            "invertedindex_ray.pipelines.tpch", fromlist=["x"]
+        ).q14_promo_share(sf),
         # --- event windowing (streaming-shaped ops over the events table) ---
         "window_distinct_users": lambda sf: __import__(
             "invertedindex_ray.pipelines.windows", fromlist=["x"]
@@ -1954,6 +1960,52 @@ rk AS (
 SELECT o_orderkey, o_orderdate, rev::DOUBLE / 10000.0 AS revenue_r,
        rank::BIGINT AS rank
 FROM rk WHERE rank <= 10""",
+        "tpch_q5": """
+WITH nr AS (
+  SELECT n.n_nationkey, n.n_name
+  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+lr AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+),
+j AS (
+  SELECT nr.n_name, lr.rev
+  FROM lr
+  JOIN supplier s ON s.s_suppkey = lr.l_suppkey
+  JOIN nr ON nr.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = lr.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey = s.s_nationkey
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT n_name, sum(rev)::DOUBLE / 10000.0 AS revenue_r
+FROM j GROUP BY n_name""",
+        "tpch_q14": """
+WITH lr AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+),
+j AS (
+  SELECT lr.rev, starts_with(p.p_type, 'PROMO') AS promo
+  FROM lr JOIN part p ON p.p_partkey = lr.l_partkey
+)
+SELECT round(CASE WHEN sum(rev) > 0
+             THEN 100.0 * sum(CASE WHEN promo THEN rev ELSE 0 END)
+                  / sum(rev) ELSE 0.0 END, 6) AS promo_share_r,
+       coalesce(sum(CASE WHEN promo THEN rev ELSE 0 END), 0)::DOUBLE
+         / 10000.0 AS promo_revenue_r,
+       coalesce(sum(rev), 0)::DOUBLE / 10000.0 AS total_revenue_r,
+       count(*)::BIGINT AS n_rows
+FROM j""",
         "vocab_stats": """
 WITH tk AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS w

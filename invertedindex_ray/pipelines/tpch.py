@@ -225,17 +225,24 @@ def q3_top_orders(
 
     from invertedindex_ray.functions.grouping import (
         grouped_partitions,
+        materialized_nonempty,
         pair_join_partitions,
         parquet_num_rows,
     )
     from invertedindex_ray.functions.rounding import round_half_up
 
     cut = _ts_us(cutoff)
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"],
-        filter=pds.field("c_mktsegment") == segment,
-    ).select_columns(["c_custkey"])
+    # materialized_nonempty on every join side: a filtered side can
+    # produce schema-less empty blocks that crash Acero's hash-join
+    # partition builder (grouping.py's round-2 finding)
+    cust, _ = materialized_nonempty(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filter=pds.field("c_mktsegment") == segment,
+        ).select_columns(["c_custkey"]),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -243,10 +250,14 @@ def q3_top_orders(
         < pa.scalar(cut, pa.timestamp("us")),
     )
     nparts = pair_join_partitions(parquet_num_rows(f"{sf_dir}/orders.parquet"))
-    seg_orders = orders.join(
-        cust, join_type="inner", num_partitions=nparts,
-        on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "o_orderdate"])
+    seg_orders, _ = materialized_nonempty(
+        orders.join(
+            cust, join_type="inner", num_partitions=nparts,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_orderdate"]),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("o_orderdate", pa.timestamp("us"))]),
+    )
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -274,7 +285,9 @@ def q3_top_orders(
             }
         )
 
-    rev = li.map_batches(rev_partial, batch_format="pyarrow")
+    rev, _ = materialized_nonempty(
+        li.map_batches(rev_partial, batch_format="pyarrow"), rev_schema
+    )
     joined = rev.join(
         seg_orders, join_type="inner", num_partitions=nparts,
         on=("l_orderkey",), right_on=("o_orderkey",),
@@ -344,5 +357,267 @@ def q3_top_orders(
             "rank": pa.array(
                 np.arange(1, len(sel) + 1, dtype=np.int64), type=pa.int64()
             ),
+        }
+    )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+):
+    """(n_name, revenue_r): the TPC-H Q5 local-supplier-volume shape —
+    revenue from lineitems where the CUSTOMER and the SUPPLIER sit in
+    the same nation of ``region``, for orders placed in the window;
+    one row per nation, revenue descending (n_name ties ascending).
+
+    Scale shape: nation/region are true dimension tables (tens of
+    rows) and ride the task closures as plain dicts — the standard
+    star-schema treatment; supplier, customer, orders and lineitem are
+    fact-scale and exchange through Dataset.join with footer-derived
+    fan-out. Revenue is exact integer cents throughout; the final
+    per-nation sum is a <= |nations| keyed reduction."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        materialized_nonempty,
+        pair_join_partitions,
+        parquet_num_rows,
+    )
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    # dimension broadcast: region -> nation keys/names (tiny by contract)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        int(k)
+        for k, name in zip(reg["r_regionkey"].to_pylist(),
+                           reg["r_name"].to_pylist())
+        if name == region
+    }
+    nat_name = {
+        int(k): n
+        for k, n, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if int(rk) in rkeys
+    }
+    if not nat_name:
+        return pa.table(
+            {"n_name": pa.array([], type=pa.string()),
+             "revenue_r": pa.array([], type=pa.float64())}
+        )
+    nat_set = frozenset(nat_name)
+
+    # fact sides: filtered/pruned reads, joins with data-derived fan-out
+    nat_arr = np.fromiter(nat_set, dtype=np.int64, count=len(nat_set))
+
+    def _nation_filter(key_col: str, schema: pa.Schema):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return schema.empty_table()
+            nk = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(nk, nat_arr))).cast(schema)
+
+        return f
+
+    supp_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+    )
+    supp, _ = materialized_nonempty(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            _nation_filter("s_nationkey", supp_schema), batch_format="pyarrow"
+        ),
+        supp_schema,
+    )
+    cust_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+    )
+    cust, _ = materialized_nonempty(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(
+            _nation_filter("c_nationkey", cust_schema), batch_format="pyarrow"
+        ),
+        cust_schema,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pds.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us"))),
+    ).select_columns(["o_orderkey", "o_custkey"])
+    nparts = pair_join_partitions(parquet_num_rows(f"{sf_dir}/orders.parquet"))
+    ords, _ = materialized_nonempty(
+        orders.join(
+            cust, join_type="inner", num_partitions=nparts,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_nationkey"]),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def slim_rev(batch: pa.Table) -> pa.Table:
+        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "rev": pa.array(pc * (100 - dc), type=pa.int64()),
+            }
+        )
+
+    lrev = li.map_batches(slim_rev, batch_format="pyarrow").join(
+        supp, join_type="inner", num_partitions=nparts,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    ).select_columns(["l_orderkey", "rev", "s_nationkey"])
+
+    both = lrev.join(
+        ords, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    agg_schema = pa.schema([("nk", pa.int64()), ("rev", pa.int64())])
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        sn = g["s_nationkey"].to_numpy().astype(np.int64)
+        cn = g["c_nationkey"].to_numpy().astype(np.int64)
+        rv = g["rev"].to_numpy()
+        keep = sn == cn  # customer and supplier share the nation
+        uniq, inv = np.unique(sn[keep], return_inverse=True)
+        tot = (
+            np.bincount(inv, weights=rv[keep]).astype(np.int64)
+            if keep.any()
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"nk": uniq.astype(np.int64), "rev": tot})
+
+    rows = grouped_partitions(
+        both,
+        lambda b: b["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        & np.uint64(31),
+        per_nation,
+        agg_schema,
+    ).take_all()  # <= |nations| rows
+    agg: dict = {}
+    for r in rows:
+        agg[int(r["nk"])] = agg.get(int(r["nk"]), 0) + int(r["rev"])
+    out = sorted(
+        ((nat_name[k], v) for k, v in agg.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return pa.table(
+        {
+            "n_name": pa.array([n for n, _ in out], type=pa.string()),
+            "revenue_r": pa.array(
+                [v / 10000.0 for _, v in out], type=pa.float64()
+            ),
+        }
+    )
+
+
+def q14_promo_share(
+    sf_dir: str,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+):
+    """(promo_share_r, promo_revenue_r, total_revenue_r, n_rows): the
+    TPC-H Q14 promotion-effect shape — the percentage of window revenue
+    from PROMO-typed parts. lineitem (shipdate window) joins part on
+    partkey; both revenue sums are exact integer cents; the share
+    divides the two exact integers once at the end (rounded 6)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from invertedindex_ray.functions.grouping import (
+        pair_join_partitions,
+        parquet_num_rows,
+    )
+    from invertedindex_ray.functions.rounding import round_half_up
+
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pds.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us"))),
+    )
+    part_t = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).view("int64")
+        keep = (ship >= lo) & (ship < hi)
+        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    batch["l_partkey"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "rev": pa.array(pc * (100 - dc), type=pa.int64()),
+            }
+        )
+
+    nparts = pair_join_partitions(
+        parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    )
+    j = li.map_batches(slim, batch_format="pyarrow").join(
+        part_t, join_type="inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        rv = batch["rev"].to_numpy(zero_copy_only=False)
+        promo = pc_.starts_with(
+            batch["p_type"].combine_chunks()
+            if isinstance(batch["p_type"], pa.ChunkedArray)
+            else batch["p_type"],
+            pattern="PROMO",
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo": pa.array([int(rv[promo].sum())], type=pa.int64()),
+                "total": pa.array([int(rv.sum())], type=pa.int64()),
+                "n": pa.array([len(rv)], type=pa.int64()),
+            }
+        )
+
+    rows = j.map_batches(partial, batch_format="pyarrow").take_all()
+    promo = sum(int(r["promo"]) for r in rows)
+    total = sum(int(r["total"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    share = 100.0 * promo / total if total else 0.0
+    return pa.table(
+        {
+            "promo_share_r": pa.array(
+                round_half_up(np.array([share]), 6), type=pa.float64()
+            ),
+            "promo_revenue_r": pa.array([promo / 10000.0], type=pa.float64()),
+            "total_revenue_r": pa.array([total / 10000.0], type=pa.float64()),
+            "n_rows": pa.array([n], type=pa.int64()),
         }
     )

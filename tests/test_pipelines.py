@@ -3143,3 +3143,80 @@ class TestTPCH:
         assert (v[:-1] >= v[1:]).all()
         assert got["o_orderkey"].iloc[0] == rev.index[0]
         assert abs(got["revenue_r"].iloc[0] - rev.iloc[0] / 10000.0) < 1e-9
+
+
+class TestTPCHQ5Q14:
+    def test_q5_recompute(self):
+        """Q5 per-nation revenue recomputes via pandas joins with the
+        same-nation customer/supplier rule."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.tpch import (
+            _ts_us,
+            q5_local_supplier_volume,
+        )
+
+        lo, hi = _ts_us("1996-01-01"), _ts_us("1997-01-01")
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        asia = set(reg[reg.r_name == "ASIA"]["r_regionkey"])
+        nk = nat[nat.n_regionkey.isin(asia)]
+        names = dict(zip(nk.n_nationkey, nk.n_name))
+        supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        o = orders[
+            (orders.o_orderdate.astype("int64") >= lo)
+            & (orders.o_orderdate.astype("int64") < hi)
+        ]
+        li = li.copy()
+        li["rev"] = (
+            np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(li.l_discount.to_numpy() * 100).astype(np.int64))
+        )
+        m = (
+            li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        )
+        m = m[
+            (m.s_nationkey == m.c_nationkey)
+            & (m.s_nationkey.isin(names))
+        ]
+        want = m.groupby("s_nationkey")["rev"].sum()
+        got = _pdf(q5_local_supplier_volume(SF))
+        assert len(got) == len(want)
+        for nkid, rev in want.items():
+            row = got[got.n_name == names[nkid]]
+            assert len(row) == 1
+            assert abs(row["revenue_r"].iloc[0] - rev / 10000.0) < 1e-9
+        # revenue descending
+        v = got["revenue_r"].to_numpy()
+        assert (v[:-1] >= v[1:]).all()
+
+    def test_q14_recompute(self):
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.pipelines.tpch import _ts_us, q14_promo_share
+
+        lo, hi = _ts_us("1996-01-01"), _ts_us("1996-02-01")
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        li = li[
+            (li.l_shipdate.astype("int64") >= lo)
+            & (li.l_shipdate.astype("int64") < hi)
+        ].copy()
+        li["rev"] = (
+            np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(li.l_discount.to_numpy() * 100).astype(np.int64))
+        )
+        m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        promo = int(m[m.p_type.str.startswith("PROMO")]["rev"].sum())
+        total = int(m["rev"].sum())
+        got = _pdf(q14_promo_share(SF))
+        assert got["n_rows"].iloc[0] == len(m)
+        assert abs(got["total_revenue_r"].iloc[0] - total / 10000.0) < 1e-9
+        assert abs(
+            got["promo_share_r"].iloc[0] - 100.0 * promo / total
+        ) < 1e-6
