@@ -1908,8 +1908,6 @@ def surprisal_buckets(sf_dir: str, *, n_buckets: int = 3, k: int = 1024):
     with the <= (n_buckets-1) thresholds in the closure."""
     import math
 
-    import ray
-
     from invertedindex_ray.functions.hashing import md5_hash63
 
     sur = unigram_surprisal(sf_dir).materialize()
@@ -1948,11 +1946,15 @@ def surprisal_buckets(sf_dir: str, *, n_buckets: int = 3, k: int = 1024):
         vv = vv[keep]
     s = np.sort(vv)
     n = len(s)
-    thresholds = [
-        float(s[min(n - 1, math.ceil(b * n / n_buckets) - 1)])
-        for b in range(1, n_buckets)
-    ]
-    tref = ray.put(np.asarray(thresholds, dtype=np.float64))
+    # <= (n_buckets-1) floats: ride the task closure directly (a
+    # ray.put round-trip per batch for 16 bytes is pure overhead)
+    thresholds = np.asarray(
+        [
+            float(s[min(n - 1, math.ceil(b * n / n_buckets) - 1)])
+            for b in range(1, n_buckets)
+        ],
+        dtype=np.float64,
+    )
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("surprisal_r", pa.float64()),
@@ -1962,9 +1964,8 @@ def surprisal_buckets(sf_dir: str, *, n_buckets: int = 3, k: int = 1024):
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
-        thr = ray.get(tref)
         v = batch["surprisal_r"].to_numpy(zero_copy_only=False)
-        bucket = 1 + (v[:, None] > thr[None, :]).sum(axis=1)
+        bucket = 1 + (v[:, None] > thresholds[None, :]).sum(axis=1)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].combine_chunks()

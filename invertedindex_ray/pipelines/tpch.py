@@ -69,18 +69,18 @@ def q1_pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-02"):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # read_parquet's filter= is exact row-level (verified on this
+        # Ray), so no re-filter here
         if batch.num_rows == 0:
             return part_schema.empty_table()
-        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).view("int64")
-        keep = ship <= cut  # belt over the pushdown (row-group granularity)
-        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)[keep]
-        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)[keep]
-        qty = (
-            batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
-        ).astype(np.int64)
-        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
-        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
-        tc = _cents(batch["l_tax"].to_numpy(zero_copy_only=False)[keep])
+        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)  # rint, matching the oracle's CAST(round(...))
+        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        tc = _cents(batch["l_tax"].to_numpy(zero_copy_only=False))
         dpc = pc * (100 - dc)              # disc price in 1e-4 dollars
         chc = dpc * (100 + tc)             # charge in 1e-6 dollars
         df = pd.DataFrame(
@@ -171,15 +171,12 @@ def q6_revenue(
                 {"rev": pa.array([], type=pa.int64()),
                  "n": pa.array([], type=pa.int64())}
             )
-        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).view("int64")
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
         dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
-        keep = (
-            (ship >= lo) & (ship < hi)
-            & (dc >= disc_lo) & (dc <= disc_hi)
-            & (qty < qty_below)
-        )
+        # the shipdate window is already exact at the read; only the
+        # discount/quantity predicates remain
+        keep = (dc >= disc_lo) & (dc <= disc_hi) & (qty < qty_below)
         return pa.table(
             {
                 "rev": pa.array([int((pc[keep] * dc[keep]).sum())],
@@ -270,14 +267,17 @@ def q3_top_orders(
     def rev_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return rev_schema.empty_table()
-        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).view("int64")
-        keep = ship > cut
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
-        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
-        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         rev = pc * (100 - dc)
         uniq, inv = np.unique(ok, return_inverse=True)
-        tot = np.bincount(inv, weights=rev).astype(np.int64)
+        # np.add.at on int64, NOT bincount(weights=...): bincount
+        # accumulates in float64 and silently rounds above 2^53 —
+        # the module's exactness contract would break at ~8M rows
+        # per key of 1e9-magnitude revenue
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, rev)
         return pa.table(
             {
                 "l_orderkey": pa.array(uniq, type=pa.int64()),
@@ -305,7 +305,8 @@ def q3_top_orders(
         rv = g["rev"].to_numpy()
         uniq, first, inv = np.unique(ok, return_index=True,
                                      return_inverse=True)
-        tot = np.bincount(inv, weights=rv).astype(np.int64)
+        tot = np.zeros(len(uniq), dtype=np.int64)  # exact above 2^53
+        np.add.at(tot, inv, rv)
         return pd.DataFrame(
             {
                 "l_orderkey": uniq.astype(np.int64),
@@ -483,10 +484,19 @@ def q5_local_supplier_volume(
             }
         )
 
-    lrev = li.map_batches(slim_rev, batch_format="pyarrow").join(
-        supp, join_type="inner", num_partitions=nparts,
-        on=("l_suppkey",), right_on=("s_suppkey",),
-    ).select_columns(["l_orderkey", "rev", "s_nationkey"])
+    lrev_slim, _ = materialized_nonempty(
+        li.map_batches(slim_rev, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                   ("rev", pa.int64())]),
+    )
+    lrev, _ = materialized_nonempty(
+        lrev_slim.join(
+            supp, join_type="inner", num_partitions=nparts,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ).select_columns(["l_orderkey", "rev", "s_nationkey"]),
+        pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64()),
+                   ("s_nationkey", pa.int64())]),
+    )
 
     both = lrev.join(
         ords, join_type="inner", num_partitions=nparts,
@@ -501,11 +511,8 @@ def q5_local_supplier_volume(
         rv = g["rev"].to_numpy()
         keep = sn == cn  # customer and supplier share the nation
         uniq, inv = np.unique(sn[keep], return_inverse=True)
-        tot = (
-            np.bincount(inv, weights=rv[keep]).astype(np.int64)
-            if keep.any()
-            else np.empty(0, dtype=np.int64)
-        )
+        tot = np.zeros(len(uniq), dtype=np.int64)  # exact above 2^53
+        np.add.at(tot, inv, rv[keep])
         return pd.DataFrame({"nk": uniq.astype(np.int64), "rev": tot})
 
     rows = grouped_partitions(
@@ -549,6 +556,7 @@ def q14_promo_share(
     import ray.data as rd
 
     from invertedindex_ray.functions.grouping import (
+        materialized_nonempty,
         pair_join_partitions,
         parquet_num_rows,
     )
@@ -566,14 +574,12 @@ def q14_promo_share(
     )
 
     def slim(batch: pa.Table) -> pa.Table:
-        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).view("int64")
-        keep = (ship >= lo) & (ship < hi)
-        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
-        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        pc = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "l_partkey": pa.array(
-                    batch["l_partkey"].to_numpy(zero_copy_only=False)[keep],
+                    batch["l_partkey"].to_numpy(zero_copy_only=False),
                     type=pa.int64(),
                 ),
                 "rev": pa.array(pc * (100 - dc), type=pa.int64()),
@@ -583,7 +589,11 @@ def q14_promo_share(
     nparts = pair_join_partitions(
         parquet_num_rows(f"{sf_dir}/lineitem.parquet")
     )
-    j = li.map_batches(slim, batch_format="pyarrow").join(
+    li_slim, _ = materialized_nonempty(
+        li.map_batches(slim, batch_format="pyarrow"),
+        pa.schema([("l_partkey", pa.int64()), ("rev", pa.int64())]),
+    )
+    j = li_slim.join(
         part_t, join_type="inner", num_partitions=nparts,
         on=("l_partkey",), right_on=("p_partkey",),
     )
