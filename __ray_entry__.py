@@ -446,7 +446,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_images": lambda sf: multimodal.resize_images(sf),
         "frame_sample": lambda sf: multimodal.frame_sample(sf),
     }
-    return q
+    # The driver verifies the FIRST 50 dict entries each round
+    # (CORRECTNESS_r*.json). Rounds 1-4 always led with the same
+    # retrieval/dedup block, so 39 entries (all TPC-H, events, windows,
+    # curation, most textstats) never received a driver-green row
+    # (VERDICT r4 "Next round" #1). Lead with those 39, then the 11
+    # entries whose last driver check is oldest (round 2); the
+    # long-stable round-1 entries close the dict. Coverage/content is
+    # unchanged — this is pure insertion-order rotation.
+    ordered = {k: q.pop(k) for k in _DRIVER_WINDOW_ORDER}
+    ordered.update(q)
+    return ordered
+
+
+# First-50 driver-verification window: the 39 never-driver-checked
+# entries (leading with TPC-H and event analytics, the largest
+# never-checked families) + 11 entries last checked in round 2.
+_DRIVER_WINDOW_ORDER = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q14",
+    "funnel_counts",
+    "retention_cohorts",
+    "event_transitions",
+    "event_value_quantiles",
+    "value_quantile_sample",
+    "window_distinct_users",
+    "sessionize_scalable",
+    "late_events_scalable",
+    "asof_join_scalable",
+    "range_join_scalable",
+    "gopher_quality",
+    "surprisal_buckets",
+    "boilerplate_lines",
+    "token_entropy",
+    "bpe_token_count",
+    "source_kl",
+    "top_terms_by_source",
+    "source_jaccard",
+    "vocab_stats",
+    "zipf_slope",
+    "pmi_bigrams",
+    "length_quantiles",
+    "pii_redact",
+    "normalize_text",
+    "c4_line_filter",
+    "stratified_sample",
+    "mix_rebalance",
+    "source_stats",
+    "lang_source_matrix",
+    "length_percentile",
+    "export_shards",
+    "pack_sequences",
+    "contamination_check",
+    "top_keywords",
+    # --- last driver-checked in round 2 ---
+    "asof_join",
+    "binary_metadata",
+    "decode_features",
+    "frame_sample",
+    "json_props",
+    "late_events",
+    "range_join",
+    "resize_images",
+    "sample_docs",
+    "sessionize",
+    "window_hopping",
+]
 
 
 # ---------------------------------------------------------------- oracle
