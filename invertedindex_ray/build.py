@@ -561,7 +561,10 @@ class IndexBuilder:
         """seg_stats (Dataset of per-(term, part) rows) -> sorted lexicon.
         The groupby here moves only the tiny stats rows, so fusing it onto
         the segments pipeline adds no barrier beyond its own small shuffle."""
-        from invertedindex_ray.functions.grouping import grouped_partitions
+        from invertedindex_ray.functions.grouping import (
+            grouped_partitions,
+            reduction_partitions,
+        )
         from invertedindex_ray.functions.hashing import hash_strings
 
         lex_schema = pa.schema(
@@ -584,11 +587,16 @@ class IndexBuilder:
         # partition (Ray's per-group aggregate walks groups in Python —
         # the measured 40x bottleneck at web-scale vocabularies; see
         # functions/grouping.py)
+        # per-(term, part) sidecar rows are bounded by total tokens;
+        # size the vocabulary-merge fan-out from the collection stats
         lex = grouped_partitions(
             seg_stats,
-            lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+            lambda b: hash_strings(b["term"].to_pylist()),
             sum_max_per_term,
             lex_schema,
+            n_partitions=reduction_partitions(
+                int(stats.num_docs * stats.avg_doc_len)
+            ),
         )
         num_docs = stats.num_docs
 

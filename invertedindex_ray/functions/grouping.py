@@ -113,12 +113,50 @@ def pair_join_partitions(n_rows: int) -> int:
     return int(max(2, min(64, 1 + n_rows // 100_000)))
 
 
+# one keyed-reduction task holds its whole partition as a DataFrame;
+# ~2M slim rows ~= 100-400 MB of pandas heap, comfortably inside a
+# worker even at concurrency x 32
+_ROWS_PER_REDUCTION_TASK = 2_000_000
+
+
+def reduction_partitions(n_rows: int, rows_per_task: int | None = None,
+                          floor: int = 32) -> int:
+    """Keyed-reduction fan-out derived from the (estimated) number of
+    keyed rows entering the reduction — never a constant: each
+    :func:`grouped_partitions` partition is reduced by ONE task holding
+    its whole slice, so a fixed fan-out means per-task memory grows
+    linearly with input (the VERDICT r4 scale-killer; every call site
+    used a hard-coded ``& 31``). Power of two (the partition key is a
+    mask over a mixed 64-bit hash), floor 32 (every small-SF oracle
+    keeps its exact round-4 partitioning), doubling whenever a
+    partition would exceed ``rows_per_task`` rows, capped at 2**16
+    tasks. ``n_rows`` may be a footer count times a coarse expansion
+    factor — only the growth matters, not precision."""
+    if rows_per_task is None:
+        rows_per_task = _ROWS_PER_REDUCTION_TASK
+    n = int(floor)
+    while n_rows > n * rows_per_task and n < 65536:
+        n *= 2
+    return n
+
+
+def table_partitions(path: str, expand: int = 1) -> int:
+    """:func:`reduction_partitions` sized from a parquet FOOTER row
+    count times a coarse per-row expansion factor for reductions whose
+    keyed rows explode from the input (e.g. ``expand~=64`` for
+    term-keyed token partials over documents, ``1`` for doc- or
+    user-keyed rows). Footer-only — no data is read."""
+    return reduction_partitions(parquet_num_rows(path) * expand)
+
+
 def grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
                         n_partitions: int = 32):
     """High-cardinality groupby replacement: tag every row with a hash
-    PARTITION (``part_fn(batch) -> int32 array``, e.g. ``h & 31``), then
-    run ONE vectorized ``group_fn(partition_df) -> DataFrame`` per
-    partition via ``groupby("_p").map_groups``.
+    PARTITION (``part_fn(batch)`` returns the RAW per-row uint64 hash;
+    the mask to ``n_partitions`` is applied HERE, so the fan-out and
+    the mask can never disagree), then run ONE vectorized
+    ``group_fn(partition_df) -> DataFrame`` per partition via
+    ``groupby("_p").map_groups``.
 
     Ray's ``groupby(key).aggregate(...)`` walks rows/groups in Python:
     measured 76-83 s for a Min over 458 k rows with ~unique keys (both
@@ -129,15 +167,19 @@ def grouped_partitions(ds, part_fn, group_fn, schema: pa.Schema,
     per partition and ``group_fn`` reduces its whole partition with
     numpy (lexsort/unique/bincount/reduceat). All rows of one original
     key land in one partition, so any per-key reduction stays exact.
-    ``n_partitions`` bounds per-task memory: size it so rows/partition
-    fit a worker (at 100 TB raise it; partitions stream through the
-    same sort machinery the index build uses)."""
+    ``n_partitions`` bounds per-task memory: derive it from the input
+    row count with :func:`reduction_partitions` (power of two required;
+    the small-SF floor of 32 keeps every oracle's exact partitioning)."""
+    if n_partitions & (n_partitions - 1):
+        raise ValueError(f"n_partitions must be a power of two, got {n_partitions}")
+    mask = np.uint64(n_partitions - 1)
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
+        h = np.asarray(part_fn(batch)).astype(np.uint64, copy=False)
         return batch.append_column(
-            "_p", pa.array(part_fn(batch).astype(np.int32), type=pa.int32())
+            "_p", pa.array((h & mask).astype(np.int32), type=pa.int32())
         )
 
     # the leading typed-empty block pins the output schema even when the
@@ -173,7 +215,7 @@ def keyed_partitions(ds, key_cols, group_fn, schema: pa.Schema,
         for c in key_cols:
             col = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
             acc = _mix64(acc ^ col)
-        return acc & np.uint64(n_partitions - 1)
+        return acc  # grouped_partitions applies the n_partitions mask
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         t = pa.Table.from_pandas(g, preserve_index=False)

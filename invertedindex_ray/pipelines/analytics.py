@@ -184,6 +184,7 @@ def lexicon(sf_dir: str, cfg: IndexConfig = NOSTEM):
     # vectorized factorize/bincount per partition (Ray's per-group
     # aggregate is ~40x slower on near-unique keys at web-scale vocab —
     # see dedup._grouped_partitions)
+    from invertedindex_ray.functions.grouping import table_partitions
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.pipelines.dedup import _grouped_partitions
 
@@ -201,9 +202,12 @@ def lexicon(sf_dir: str, cfg: IndexConfig = NOSTEM):
 
     return _grouped_partitions(
         parts,
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         sum_per_term,
         out_schema,
+        n_partitions=table_partitions(
+            f"{sf_dir}/documents.parquet", expand=64
+        ),
     )
 
 
@@ -230,6 +234,7 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
 
     rows = _tokenized(sf_dir, cfg).map_batches(with_partial, batch_format="pyarrow")
 
+    from invertedindex_ray.functions.grouping import table_partitions
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.pipelines.dedup import _grouped_partitions
 
@@ -250,9 +255,12 @@ def term_upper_bounds(sf_dir: str, cfg: IndexConfig = NOSTEM):
 
     agg = _grouped_partitions(
         rows,
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         agg_per_term,
         agg_schema,
+        n_partitions=table_partitions(
+            f"{sf_dir}/documents.parquet", expand=64
+        ),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -311,6 +319,7 @@ def _postings_with_df(sf_dir: str, cfg: IndexConfig, doc_filter=None):
         materialized_nonempty,
         normalize_schema,
         pair_join_partitions,
+        reduction_partitions,
     )
     from invertedindex_ray.functions.hashing import hash_strings
 
@@ -344,9 +353,10 @@ def _postings_with_df(sf_dir: str, cfg: IndexConfig, doc_filter=None):
 
     dfs = grouped_partitions(
         rows.map_batches(df_partial, batch_format="pyarrow"),
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         sum_df,
         _DF_SCHEMA,
+        n_partitions=reduction_partitions(n_post),
     )
     dfs, _ = materialized_nonempty(dfs, _DF_SCHEMA)
 

@@ -195,11 +195,17 @@ def batch_topk(
             }
         )
 
+    from invertedindex_ray.functions.grouping import reduction_partitions
     from invertedindex_ray.pipelines.dedup import _grouped_partitions
 
     per_doc_schema = pa.schema(
         [("qid", pa.string()), ("doc_id", pa.int64()),
          ("score", pa.float64()), ("n_hit", pa.int64())]
+    )
+    # exact upper bound of the fanout rows entering the (qid, doc)
+    # reduction: each query containing a term contributes df rows
+    n_fanout = sum(
+        df_map[t] * len(qids) for t, qids in term_to_queries.items()
     )
 
     def sum_per_qdoc(g):
@@ -232,10 +238,10 @@ def batch_topk(
 
     per_doc = _grouped_partitions(
         scored.map_batches(fanout, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         sum_per_qdoc,
         per_doc_schema,
+        n_partitions=reduction_partitions(n_fanout),
     )
 
     import pandas as pd
@@ -377,6 +383,12 @@ def batch_topk_lm(
         [("qid", pa.string()), ("doc_id", pa.int64()),
          ("score", pa.float64()), ("doc_len", pa.int64())]
     )
+    from invertedindex_ray.functions.grouping import reduction_partitions
+
+    # cf >= df bounds the per-term posting rows each query fans out
+    n_fanout = sum(
+        cf_map[t] * len(qids) for t, qids in term_to_queries.items()
+    )
 
     def sum_per_qdoc(g):
         # same deterministic (qid, doc, score)-ordered reduceat merge as
@@ -404,10 +416,10 @@ def batch_topk_lm(
 
     per_doc = _grouped_partitions(
         post.map_batches(score_rows, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         sum_per_qdoc,
         per_doc_schema,
+        n_partitions=reduction_partitions(n_fanout),
     )
 
     def topk_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -418,7 +418,10 @@ def top_keywords(sf_dir: str, *, k: int = 5):
     one lexsort + boundary-rank pass per partition)."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        reduction_partitions,
+    )
     from invertedindex_ray.pipelines.analytics import (
         NOSTEM,
         _postings_with_df,
@@ -428,7 +431,7 @@ def top_keywords(sf_dir: str, *, k: int = 5):
 
     stats = collection_stats(sf_dir)
     n_docs = int(stats["num_docs"][0].as_py())
-    joined, _ = _postings_with_df(sf_dir, NOSTEM)
+    joined, n_post = _postings_with_df(sf_dir, NOSTEM)
 
     scored_schema = pa.schema(
         [("doc_id", pa.int64()), ("term", pa.string()), ("tfidf_r", pa.float64())]
@@ -478,10 +481,10 @@ def top_keywords(sf_dir: str, *, k: int = 5):
 
     return grouped_partitions(
         joined.map_batches(score, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         pick,
         out_schema,
+        n_partitions=reduction_partitions(n_post),
     )
 
 
@@ -767,7 +770,11 @@ def lang_source_matrix(sf_dir: str):
     cardinality is the taxonomy product, never corpus rows."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        parquet_num_rows,
+        reduction_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
 
     part_schema = pa.schema(
@@ -802,10 +809,13 @@ def lang_source_matrix(sf_dir: str):
         lambda b: hash_strings(
             [f"{l}\x00{s}" for l, s in zip(b["lang"].to_pylist(),
                                            b["source"].to_pylist())]
-        )
-        & np.uint64(31),
+        ),
         sum_key,
         part_schema,
+        # per-batch (lang, source) partials: a few rows per read batch
+        n_partitions=reduction_partitions(
+            parquet_num_rows(f"{sf_dir}/documents.parquet") // 1000
+        ),
     )
 
 
@@ -827,7 +837,11 @@ def length_percentile(sf_dir: str):
     import pandas as pd
     import ray
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        parquet_num_rows,
+        reduction_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.functions.rounding import round_half_up
 
@@ -862,10 +876,13 @@ def length_percentile(sf_dir: str):
         lambda b: hash_strings(
             [s if s is not None else "\x00<null>" for s in
              b["source"].to_pylist()]
-        )
-        & np.uint64(31),
+        ),
         sum_key,
         hist_schema,
+        # histogram rows bounded by distinct lengths x sources <= docs
+        n_partitions=reduction_partitions(
+            parquet_num_rows(f"{sf_dir}/documents.parquet")
+        ),
     ).take_all()  # histogram-sized: distinct lengths x sources
 
     # per-source (sorted values, cum-smaller counts, n)
@@ -950,7 +967,10 @@ def boilerplate_lines(sf_dir: str, *, min_df: int = 2):
     import pandas as pd
     import ray
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
 
     hash_schema = pa.schema([("h", pa.int64()), ("c", pa.int64())])
 
@@ -997,10 +1017,12 @@ def boilerplate_lines(sf_dir: str, *, min_df: int = 2):
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             partial, batch_format="pyarrow"
         ),
-        lambda b: b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["h"].to_numpy(zero_copy_only=False).astype(np.uint64),
         sum_df,
         hash_schema,
+        n_partitions=table_partitions(
+            f"{sf_dir}/documents.parquet", expand=8  # ~lines per doc
+        ),
     ).take_all()
     if len(flagged_rows) > BOILERPLATE_MAX_LINES:
         raise ValueError(

@@ -56,12 +56,15 @@ def seed_keywords(
     ``n_seeds * m`` keyword rows reach the driver."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        reduction_partitions,
+    )
     from invertedindex_ray.pipelines.analytics import _postings_with_df, _tfidf_r
 
     stats = collection_stats(sf_dir, cfg)
     n_docs = int(stats["num_docs"][0].as_py())
-    joined, _ = _postings_with_df(
+    joined, n_joined = _postings_with_df(
         sf_dir, cfg, doc_filter=lambda ids: (ids % seed_mod) == 0
     )
 
@@ -101,10 +104,10 @@ def seed_keywords(
 
     rows = grouped_partitions(
         joined.map_batches(score, batch_format="pyarrow"),
-        lambda b: b["seed_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["seed_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         pick,
         _KW_SCHEMA,
+        n_partitions=reduction_partitions(n_joined),
     ).take_all()  # bounded: n_seeds * m rows
     out: dict[int, list[tuple[int, str]]] = {}
     for r in rows:

@@ -324,6 +324,7 @@ def phrase_search_indexed(
     from invertedindex_ray.functions.grouping import (
         grouped_partitions,
         rd_empty,
+        table_partitions,
     )
 
     phrases = DRIVER_PHRASES if phrases is None else phrases
@@ -422,10 +423,10 @@ def phrase_search_indexed(
 
     return grouped_partitions(
         postings.map_batches(tag, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         intersect,
         _OUT_SCHEMA,
+        n_partitions=table_partitions(f"{sf_dir}/documents.parquet", expand=4),
     )
 
 
@@ -448,6 +449,7 @@ def proximity_search_indexed(
     from invertedindex_ray.functions.grouping import (
         grouped_partitions,
         rd_empty,
+        table_partitions,
     )
     from invertedindex_ray.pipelines.proximity import DRIVER_PROX
     from invertedindex_ray.pipelines.proximity import _OUT_SCHEMA as PROX_SCHEMA
@@ -552,10 +554,10 @@ def proximity_search_indexed(
 
     return grouped_partitions(
         postings.map_batches(tag, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         pairs,
         PROX_SCHEMA,
+        n_partitions=table_partitions(f"{sf_dir}/documents.parquet", expand=4),
     )
 
 
@@ -577,6 +579,7 @@ def snippet_windows_indexed(
     from invertedindex_ray.functions.grouping import (
         grouped_partitions,
         rd_empty,
+        table_partitions,
     )
     from invertedindex_ray.pipelines.snippet import DRIVER_SNIPPETS
     from invertedindex_ray.pipelines.snippet import _OUT_SCHEMA as SNIP_SCHEMA
@@ -676,8 +679,8 @@ def snippet_windows_indexed(
 
     return grouped_partitions(
         postings.map_batches(tag, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         best_windows,
         SNIP_SCHEMA,
+        n_partitions=table_partitions(f"{sf_dir}/documents.parquet", expand=4),
     )

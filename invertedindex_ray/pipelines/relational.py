@@ -127,6 +127,9 @@ def late_events(
             }
         )
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _tp,
+    )
     from invertedindex_ray.pipelines.dedup import _keyed_partitions
 
     return _keyed_partitions(
@@ -135,6 +138,7 @@ def late_events(
         flag,
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("is_late", pa.int64())]),
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -205,6 +209,9 @@ def asof_join_events(
             }
         )
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _tp,
+    )
     from invertedindex_ray.pipelines.dedup import _keyed_partitions
 
     return _keyed_partitions(
@@ -213,6 +220,7 @@ def asof_join_events(
         merge,
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("prior_value", pa.float64())]),
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -265,6 +273,9 @@ def range_join_counts(
             }
         )
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _tp,
+    )
     from invertedindex_ray.pipelines.dedup import _keyed_partitions
 
     return _keyed_partitions(
@@ -273,6 +284,7 @@ def range_join_counts(
         merge,
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("n_right", pa.int64())]),
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -297,7 +309,10 @@ def event_value_quantiles(
 
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
 
     out_schema = pa.schema(
@@ -336,9 +351,10 @@ def event_value_quantiles(
 
     return grouped_partitions(
         _events(sf_dir, ["event_type", "value"]),
-        lambda b: hash_strings(b["event_type"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["event_type"].to_pylist()),
         quantiles,
         out_schema,
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -366,7 +382,10 @@ def value_quantile_sample(
 
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings, md5_hash63
 
     part_schema = pa.schema(
@@ -447,9 +466,10 @@ def value_quantile_sample(
         _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
             partial, batch_format="pyarrow"
         ),
-        lambda b: hash_strings(b["event_type"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["event_type"].to_pylist()),
         finish,
         out_schema,
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -475,7 +495,10 @@ def funnel_counts(
     is O(n_steps))."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
 
     step_list = [str(s) for s in steps]
     n_steps = len(step_list)
@@ -560,12 +583,12 @@ def funnel_counts(
         _events(sf_dir, ["user_id", "event_type", "ts"]).map_batches(
             slim, batch_format="pyarrow"
         ),
-        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         per_user_chain,
         part_schema,
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet"),
     )
-    # <= 32 partitions x n_steps rows: a bounded driver-side sum
+    # <= partitions x n_steps rows: a bounded driver-side sum
     agg = np.zeros(n_steps, dtype=np.int64)
     for r in parts.take_all():
         agg[int(r["step"]) - 1] += int(r["n_p"])
@@ -596,7 +619,10 @@ def retention_cohorts(sf_dir: str):
     key. Output cardinality is O(#days^2), never O(users)."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
 
     US_PER_DAY = 86_400_000_000
 
@@ -654,14 +680,15 @@ def retention_cohorts(sf_dir: str):
             }
         )
 
+    _np_ev = table_partitions(f"{sf_dir}/events.parquet")
     parts = grouped_partitions(
         _events(sf_dir, ["user_id", "ts"]).map_batches(
             slim, batch_format="pyarrow"
         ),
-        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         per_user,
         part_schema,
+        n_partitions=_np_ev,
     )
 
     def sum_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -691,10 +718,10 @@ def retention_cohorts(sf_dir: str):
         lambda b: (
             b["cohort"].to_numpy(zero_copy_only=False).astype(np.uint64) * 31
             + b["day_offset"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        & np.uint64(31),
+        ),
         sum_key,
         mid_schema,
+        n_partitions=_np_ev,
     )
 
     def to_ts(batch: pa.Table) -> pa.Table:
@@ -732,7 +759,10 @@ def event_transitions(sf_dir: str):
     one-partition-per-32nd-of-events bound shared with funnel_counts."""
     import pandas as pd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        table_partitions,
+    )
 
     slim_schema = pa.schema(
         [("user_id", pa.int64()), ("ts", pa.int64()),
@@ -800,10 +830,10 @@ def event_transitions(sf_dir: str):
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
             slim, batch_format="pyarrow"
         ),
-        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         pairs_per_user,
         part_schema,
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet"),
     )
     # <= partitions x #types^2 rows: bounded driver-side sum
     agg: dict = {}

@@ -66,6 +66,9 @@ def top_terms(sf_dir: str, n: int = 50):
     bounded per-block partial top-N."""
     import pandas as pd
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _table_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.pipelines.dedup import _grouped_partitions
 
@@ -80,9 +83,10 @@ def top_terms(sf_dir: str, n: int = 50):
 
     agg = _grouped_partitions(
         _read_docs(sf_dir).map_batches(_batch_term_counts, batch_format="pyarrow"),
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         sum_per_term,
         agg_schema,
+        n_partitions=_table_partitions(f"{sf_dir}/documents.parquet", expand=64),
     )
 
     def partial_topn(batch: pa.Table) -> pa.Table:
@@ -423,6 +427,9 @@ def vocab_stats(sf_dir: str):
     never leaves the cluster."""
     import pandas as pd
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _table_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.functions.rounding import round_half_up
     from invertedindex_ray.pipelines.dedup import _grouped_partitions
@@ -447,9 +454,10 @@ def vocab_stats(sf_dir: str):
         _read_docs(sf_dir).map_batches(
             _batch_term_counts, batch_format="pyarrow"
         ),
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         per_partition,
         part_schema,
+        n_partitions=_table_partitions(f"{sf_dir}/documents.parquet", expand=64),
     ).take_all()  # <= n_partitions rows
     n_terms = sum(int(r["n_terms"]) for r in rows)
     n_hapax = sum(int(r["n_hapax"]) for r in rows)

@@ -43,6 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from invertedindex_ray.functions.grouping import table_partitions as _tp
 from invertedindex_ray.pipelines.dedup import _keyed_partitions
 from invertedindex_ray.pipelines.relational import _events
 
@@ -136,6 +137,7 @@ def range_join_counts_scalable(
         ["user_id", "bucket"],
         count_in_bucket,
         out_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -207,6 +209,7 @@ def sessionize_scalable(
         ["user_id", "bucket"],
         bucket_sessions,
         pb_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     ).materialize()  # consumed twice: interior pass-through + stitch
 
     interior = per_bucket.filter(expr="boundary == False").select_columns(
@@ -248,6 +251,7 @@ def sessionize_scalable(
         ["user_id"],
         stitch,
         st_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -361,6 +365,7 @@ def asof_join_events_scalable(
         ["user_id", "bucket"],
         local,
         lo_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     ).materialize()  # done rows pass through; open+summary go to carry
 
     done = staged.filter(expr="kind == 'done'")
@@ -396,7 +401,8 @@ def asof_join_events_scalable(
          ("prior_value", pa.float64())]
     )
     carried = _keyed_partitions(
-        staged.filter(expr="kind != 'done'"), ["user_id"], carry, ca_schema
+        staged.filter(expr="kind != 'done'"), ["user_id"], carry, ca_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -483,6 +489,7 @@ def late_events_scalable(
         ["user_id", "bucket"],
         local,
         lw_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
     # summaries are tiny (one row per (user, bucket)): prefix-max per
@@ -509,7 +516,10 @@ def late_events_scalable(
             }
         )
 
-    carry_rows = _keyed_partitions(summaries, ["user_id"], carries, lw_schema)
+    carry_rows = _keyed_partitions(
+        summaries, ["user_id"], carries, lw_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
+    )
 
     def apply(group: pa.Table) -> pa.Table:
         uid = int(group["user_id"][0].as_py())
@@ -536,5 +546,6 @@ def late_events_scalable(
         [("event_id", pa.int64()), ("user_id", pa.int64()), ("is_late", pa.int64())]
     )
     return _keyed_partitions(
-        events_rows.union(carry_rows), ["user_id", "bucket"], apply, ap_schema
+        events_rows.union(carry_rows), ["user_id", "bucket"], apply, ap_schema,
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )

@@ -95,11 +95,17 @@ def dup_ngram_spans(sf_dir: str, *, n: int = 8) -> "ray.data.Dataset":
         keep = np.repeat(ndocs > 1, lens)
         return pd.DataFrame({"doc_id": d[keep], "pos": p[keep]})
 
+    from invertedindex_ray.functions.grouping import table_partitions
+
+    _np_gram = table_partitions(
+        f"{sf_dir}/documents.parquet", expand=64  # ~n-grams per doc
+    )
     hits = _grouped_partitions(
         _read_docs(sf_dir).map_batches(gram_rows, batch_format="pyarrow"),
-        lambda t: t["h"].to_numpy().astype(np.uint64) & np.uint64(31),
+        lambda t: t["h"].to_numpy().astype(np.uint64),
         keep_cross_doc_dups,
         _HIT_SCHEMA,
+        n_partitions=_np_gram,
     )
 
     def merge_spans(g) -> "pd.DataFrame":
@@ -126,7 +132,8 @@ def dup_ngram_spans(sf_dir: str, *, n: int = 8) -> "ray.data.Dataset":
 
     return _grouped_partitions(
         hits,
-        lambda t: t["doc_id"].to_numpy().astype(np.uint64) & np.uint64(31),
+        lambda t: t["doc_id"].to_numpy().astype(np.uint64),
         merge_spans,
         _SPAN_SCHEMA,
+        n_partitions=_np_gram,
     )

@@ -17,6 +17,17 @@ from invertedindex_ray.functions.textproc import STOPWORDS
 
 _WORD = re.compile(r"[^a-zA-Z0-9]+")
 
+
+def _doc_partitions(sf_dir: str, expand: int = 64) -> int:
+    """Keyed-reduction fan-out from the documents FOOTER row count
+    (functions.grouping.table_partitions); expand ~= keyed rows per
+    document (64 for term/bigram-level partials, 1 for bounded
+    per-batch partials)."""
+    from invertedindex_ray.functions.grouping import table_partitions
+
+    return table_partitions(f"{sf_dir}/documents.parquet", expand=expand)
+
+
 # small high-frequency marker sets per language (public common-word lists)
 _LANG_MARKERS: dict[str, frozenset] = {
     "en": frozenset("the and of to in is that it for was with as on are this be".split()),
@@ -430,9 +441,10 @@ def unigram_surprisal(sf_dir: str):
     # is ~40x slower on near-unique keys — see dedup._grouped_partitions)
     counts = _grouped_partitions(
         _read_docs(sf_dir).map_batches(partial_counts, batch_format="pyarrow"),
-        lambda b: hash_strings(b["w"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["w"].to_pylist()),
         sum_per_w,
         counts_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     counts, _n_vocab = _materialized_nonempty(counts, counts_schema)
     n_total = int(counts.aggregate(Sum("n", alias_name="t")).get("t", 0) or 0)
@@ -509,10 +521,10 @@ def unigram_surprisal(sf_dir: str):
 
     agg = _grouped_partitions(
         joined.map_batches(weight, batch_format="pyarrow"),
-        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         sum_per_doc,
         agg_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -617,9 +629,10 @@ def bigram_xent(sf_dir: str):
 
     bc = _grouped_partitions(
         _read_docs(sf_dir).map_batches(partial_counts, batch_format="pyarrow"),
-        lambda t: hash_strings(t["b"].to_pylist()) & np.uint64(31),
+        lambda t: hash_strings(t["b"].to_pylist()),
         sum_per_b,
         bc_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     bc, _ = _materialized_nonempty(bc, bc_schema)
 
@@ -634,9 +647,10 @@ def bigram_xent(sf_dir: str):
 
     lc = _grouped_partitions(
         bc,
-        lambda t: hash_strings(t["w1"].to_pylist()) & np.uint64(31),
+        lambda t: hash_strings(t["w1"].to_pylist()),
         sum_per_w1,
         lc_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     lc, _ = _materialized_nonempty(lc, lc_schema)
 
@@ -723,10 +737,10 @@ def bigram_xent(sf_dir: str):
 
     agg = _grouped_partitions(
         joined.map_batches(weight, batch_format="pyarrow"),
-        lambda t: t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
         sum_per_doc,
         agg_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -887,9 +901,10 @@ def dsir_weights(sf_dir: str, *, num_buckets: int = 4096, target_lang: str = "en
         _read_docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
             partial_counts, batch_format="pyarrow"
         ),
-        lambda t: t["b"].to_numpy().astype(np.uint64) & np.uint64(31),
+        lambda t: t["b"].to_numpy().astype(np.uint64),
         sum_per_bucket,
         counts_schema,
+        n_partitions=_doc_partitions(sf_dir, expand=1),
     )
     counts_ds, _n = _materialized_nonempty(counts_ds, counts_schema)
     # bounded by num_buckets rows (<=4096) — a declared small collect,
@@ -1093,19 +1108,20 @@ def pmi_bigrams(sf_dir: str, *, min_count: int = 5, k: int = 50):
     docs = _read_docs(sf_dir)
     uni = _grouped_partitions(
         docs.map_batches(uni_partial, batch_format="pyarrow"),
-        lambda b: hash_strings(b["w"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["w"].to_pylist()),
         sum_uni,
         uni_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     bi = _grouped_partitions(
         docs.map_batches(bi_partial, batch_format="pyarrow"),
         lambda b: (
             hash_strings(b["w1"].to_pylist())
             ^ hash_strings(b["w2"].to_pylist())
-        )
-        & np.uint64(31),
+        ),
         sum_bi,
         bi_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
 
     uni, n_vocab = _materialized_nonempty(uni, uni_schema)
@@ -1216,10 +1232,10 @@ def length_quantiles(sf_dir: str, qs: tuple = DRIVER_QUANTILES):
         token_count(sf_dir).map_batches(partial, batch_format="pyarrow"),
         lambda b: mix64(
             b["len"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        & np.uint64(31),
+        ),
         sum_len,
         hist_schema,
+        n_partitions=_doc_partitions(sf_dir, expand=1),
     ).take_all()  # bounded: one row per distinct length
     h = pd.DataFrame(rows, columns=["len", "c"]).sort_values("len")
     lens = h["len"].to_numpy()
@@ -1331,9 +1347,10 @@ def source_kl(sf_dir: str):
         _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
             partial, batch_format="pyarrow"
         ),
-        lambda t: hash_strings(t["w"].to_pylist()) & np.uint64(31),
+        lambda t: hash_strings(t["w"].to_pylist()),
         reduce_per_word,
         sc_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     sc, _ = _materialized_nonempty(sc, sc_schema)
 
@@ -1407,9 +1424,10 @@ def source_kl(sf_dir: str):
 
     return _grouped_partitions(
         sc.map_batches(kl_terms, batch_format="pyarrow"),
-        lambda t: hash_strings(t["source"].to_pylist()) & np.uint64(31),
+        lambda t: hash_strings(t["source"].to_pylist()),
         sum_per_source,
         out_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
 
 
@@ -1542,10 +1560,10 @@ def top_terms_by_source(sf_dir: str, *, k: int = 10):
         lambda t: (
             hash_strings(t["source"].to_pylist())
             ^ _mix64(hash_strings(t["term"].to_pylist()))
-        )
-        & np.uint64(31),
+        ),
         sum_exact,
         part_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
     totals, _ = _materialized_nonempty(totals, part_schema)
 
@@ -1581,9 +1599,10 @@ def top_terms_by_source(sf_dir: str, *, k: int = 10):
 
     return _grouped_partitions(
         totals,
-        lambda t: hash_strings(t["source"].to_pylist()) & np.uint64(31),
+        lambda t: hash_strings(t["source"].to_pylist()),
         topk,
         out_schema,
+        n_partitions=_doc_partitions(sf_dir),
     )
 
 
@@ -1844,9 +1863,10 @@ def source_jaccard(sf_dir: str):
         _read_docs(sf_dir, columns=("source", "text")).map_batches(
             distinct_pairs, batch_format="pyarrow"
         ),
-        lambda b: hash_strings(b["term"].to_pylist()) & np.uint64(31),
+        lambda b: hash_strings(b["term"].to_pylist()),
         masks_per_term,
         mask_schema,
+        n_partitions=_doc_partitions(sf_dir),
     ).take_all()  # <= partitions x distinct masks: tiny by construction
 
     # driver-side expansion: per-source sizes and pair intersections

@@ -49,7 +49,11 @@ def q1_pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-02"):
     import pyarrow.dataset as pds
     import ray.data as rd
 
-    from invertedindex_ray.functions.grouping import grouped_partitions
+    from invertedindex_ray.functions.grouping import (
+        grouped_partitions,
+        parquet_num_rows,
+        reduction_partitions,
+    )
     from invertedindex_ray.functions.hashing import hash_strings
     from invertedindex_ray.functions.rounding import round_half_up
 
@@ -104,10 +108,13 @@ def q1_pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-02"):
         lambda b: hash_strings(
             [f"{a}|{b_}" for a, b_ in zip(b["rf"].to_pylist(),
                                           b["ls"].to_pylist())]
-        )
-        & np.uint64(31),
+        ),
         sum_key,
         part_schema,
+        # per-batch partials: <= ~6 rows per read batch
+        n_partitions=reduction_partitions(
+            parquet_num_rows(f"{sf_dir}/lineitem.parquet") // 1000
+        ),
     ).take_all()  # <= |rf| x |ls| rows
     rows.sort(key=lambda r: (r["rf"], r["ls"]))
     rf = [r["rf"] for r in rows]
@@ -225,6 +232,7 @@ def q3_top_orders(
         materialized_nonempty,
         pair_join_partitions,
         parquet_num_rows,
+        reduction_partitions,
     )
     from invertedindex_ray.functions.rounding import round_half_up
 
@@ -319,10 +327,12 @@ def q3_top_orders(
         joined,
         lambda b: b["l_orderkey"].to_numpy(zero_copy_only=False).astype(
             np.uint64
-        )
-        & np.uint64(31),
+        ),
         sum_order,
         agg_schema,
+        n_partitions=reduction_partitions(
+            parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+        ),
     )
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -389,6 +399,7 @@ def q5_local_supplier_volume(
         materialized_nonempty,
         pair_join_partitions,
         parquet_num_rows,
+        reduction_partitions,
     )
 
     lo, hi = _ts_us(date_from), _ts_us(date_to)
@@ -519,10 +530,12 @@ def q5_local_supplier_volume(
         both,
         lambda b: b["s_nationkey"].to_numpy(zero_copy_only=False).astype(
             np.uint64
-        )
-        & np.uint64(31),
+        ),
         per_nation,
         agg_schema,
+        n_partitions=reduction_partitions(
+            parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+        ),
     ).take_all()  # <= |nations| rows
     agg: dict = {}
     for r in rows:

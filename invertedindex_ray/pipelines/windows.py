@@ -29,7 +29,7 @@ def _events(sf_dir: str, columns):
 
 
 
-def _merge_window_partials(ds):
+def _merge_window_partials(ds, n_partitions: int = 32):
     """(window_start, event_type)-keyed merge of per-batch partials via
     the hash-partitioned vectorized reduction (windows x event-types is
     a near-unique key set at scale — see dedup._grouped_partitions).
@@ -69,12 +69,18 @@ def _merge_window_partials(ds):
             }
         )
 
+    from invertedindex_ray.functions.hashing import mix64
+
+    # window_start is a multiple of the window width (low bits zero) —
+    # mix before masking or every row lands in partition 0
     return _grouped_partitions(
         ds,
-        lambda b: b["window_start"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        & np.uint64(31),
+        lambda b: mix64(
+            b["window_start"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ),
         sum_per_key,
         schema,
+        n_partitions=n_partitions,
     )
 
 
@@ -108,10 +114,14 @@ def tumbling_counts(sf_dir: str, window_hours: int = 1):
             }
         )
 
+    from invertedindex_ray.functions.grouping import table_partitions
+
     agg = _merge_window_partials(
         _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
             partial, batch_format="pyarrow"
-        )
+        ),
+        # keyed rows are per-batch (window, type) partials
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet") ,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -172,10 +182,14 @@ def hopping_counts(sf_dir: str, window_hours: int = 1, hop_minutes: int = 30):
             }
         )
 
+    from invertedindex_ray.functions.grouping import table_partitions
+
     agg = _merge_window_partials(
         _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
             partial, batch_format="pyarrow"
-        )
+        ),
+        # keyed rows are per-batch (window, type) partials
+        n_partitions=table_partitions(f"{sf_dir}/events.parquet") ,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -236,6 +250,9 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, *, max_group_rows: int | None
             }
         )
 
+    from invertedindex_ray.functions.grouping import (
+        table_partitions as _tp,
+    )
     from invertedindex_ray.pipelines.dedup import _keyed_partitions
 
     return _keyed_partitions(
@@ -246,6 +263,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, *, max_group_rows: int | None
                    ("session_start", pa.timestamp("us")),
                    ("session_end", pa.timestamp("us")),
                    ("n_events", pa.int64())]),
+        n_partitions=_tp(f"{sf_dir}/events.parquet"),
     )
 
 
@@ -294,16 +312,19 @@ def window_distinct_users(sf_dir: str, window_hours: int = 1):
             {"window_start": wins.astype(np.int64), "n_p": n.astype(np.int64)}
         )
 
+    from invertedindex_ray.functions.grouping import table_partitions
+
+    _np_ev = table_partitions(f"{sf_dir}/events.parquet")
     partials = grouped_partitions(
         _events(sf_dir, ["ts", "user_id"]).map_batches(
             partial, batch_format="pyarrow"
         ),
         lambda b: mix64(
             b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        & np.uint64(31),
+        ),
         dedupe_count,
         partial_counts_schema,
+        n_partitions=_np_ev,
     )
 
     out_schema = pa.schema(
@@ -320,14 +341,14 @@ def window_distinct_users(sf_dir: str, window_hours: int = 1):
     final = grouped_partitions(
         partials,
         # window_start is a multiple of w_us (divisible by 1024), so a
-        # bare & 31 is constant zero — mix first or the final sum
-        # serializes into one partition
+        # bare low-bit mask is constant zero — mix first or the final
+        # sum serializes into one partition
         lambda b: mix64(
             b["window_start"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        & np.uint64(31),
+        ),
         sum_windows,
         pa.schema([("window_start", pa.int64()), ("n_users", pa.int64())]),
+        n_partitions=_np_ev,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
