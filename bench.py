@@ -50,6 +50,26 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Known-benign Ray-internal noise, silenced HERE only (never in the
+    # library): Ray's sort-based groupby emits schema-less EMPTY blocks
+    # for barren output splits, and the streaming executor then logs one
+    # "RefBundle with a different schema" warning per operator. This
+    # reproduces with a 20-block/3-key vanilla ray.data groupby with no
+    # library code involved (tests/test_scale_guards.py::
+    # TestGroupbyEmptySplits documents the repro); results are
+    # unaffected — the empty blocks carry zero rows. The actionable
+    # schema warnings (unhashable pandas metadata) were fixed at the
+    # read boundary in sources/io.py instead of being filtered.
+    import logging
+
+    class _DropEmptySplitSchemaWarning(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in rec.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySplitSchemaWarning())
+
     from invertedindex_ray.build import build_index
     from invertedindex_ray.config import IndexConfig
     from invertedindex_ray.sources.bench_corpus import ensure_corpus

@@ -18,6 +18,8 @@ besides bench.py allowed to)."""
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import argparse
 import sys
 
@@ -73,7 +75,7 @@ def cmd_index(args) -> int:
     from invertedindex_ray.build import build_index
 
     cfg = _config_from_args(args)
-    pages = rd.read_parquet(args.pages, columns=pages_read_columns(args.pages))
+    pages = _rpq(args.pages, columns=pages_read_columns(args.pages))
     stats = build_index(pages, args.index_dir, cfg,
                         checkpoint=not args.no_checkpoint)
     print(f"indexed {stats.num_docs} docs, {stats.total_tokens} tokens, "

@@ -63,6 +63,8 @@ Index layout on disk::
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import json
 import os
 import shutil
@@ -454,7 +456,7 @@ class IndexBuilder:
             )
         else:
             self._hash_mode_doc_table(
-                rd.read_parquet(
+                _rpq(
                     tokenized_dir, columns=["doc_id", "url", "doc_len"]
                 )
             )
@@ -507,7 +509,7 @@ class IndexBuilder:
     def _read_tokenized(self, columns=None):
         import ray.data as rd
 
-        return rd.read_parquet(self._tokenized_dir(), columns=columns)
+        return _rpq(self._tokenized_dir(), columns=columns)
 
     # ---------- stage 2: postings shuffle + segments + lexicon (fused) ----------
 
@@ -658,7 +660,7 @@ class IndexBuilder:
             # lexicon-only resume: re-derive from the persisted sidecars
             import ray.data as rd
 
-            seg_stats = rd.read_parquet(os.path.join(self.index_dir, "segstats"))
+            seg_stats = _rpq(os.path.join(self.index_dir, "segstats"))
             self._finish_lexicon(seg_stats, stats)
             self.manifest.mark_complete("lexicon")
             return
@@ -673,7 +675,7 @@ class IndexBuilder:
         if os.path.isdir(os.path.join(self.index_dir, "segstats")):
             from ray.data.aggregate import Count, Sum
 
-            seg = rd.read_parquet(os.path.join(self.index_dir, "segstats"))
+            seg = _rpq(os.path.join(self.index_dir, "segstats"))
             agg = seg.aggregate(Count(), Sum("cf", alias_name="cf_total"))
             n_entries = int(agg.get("count()", 0) or 0)
             cf_total = int(agg.get("cf_total", 0) or 0)

@@ -37,6 +37,8 @@ dense id mode the merged ingestion order is "all of A, then all of B".
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import os
 import shutil
 
@@ -215,7 +217,7 @@ def _shard_partials(index_dir: str, id_offset: int, divisor: int,
             renumber=renumber,
         )
 
-    return rd.read_parquet(os.path.join(index_dir, "segments")).map_batches(
+    return _rpq(os.path.join(index_dir, "segments")).map_batches(
         f, batch_format="pyarrow"
     )
 
@@ -279,8 +281,8 @@ def _merge_doc_tables_hash(dir_a: str, dir_b: str, out_dir: str) -> None:
         return batch
 
     (
-        rd.read_parquet(os.path.join(dir_a, "doc_table"))
-        .union(rd.read_parquet(os.path.join(dir_b, "doc_table")))
+        _rpq(os.path.join(dir_a, "doc_table"))
+        .union(_rpq(os.path.join(dir_b, "doc_table")))
         .sort("doc_id")
         .map_batches(check_block, batch_format="pyarrow")
         .write_parquet(out)
@@ -338,7 +340,7 @@ def _write_segments_and_lexicon(out_dir: str, cfg: IndexConfig, stats,
     if os.path.isdir(os.path.join(out_dir, "segstats")):
         from ray.data.aggregate import Sum
 
-        seg = rd.read_parquet(os.path.join(out_dir, "segstats"))
+        seg = _rpq(os.path.join(out_dir, "segstats"))
         cf_total = int(
             seg.aggregate(Sum("cf", alias_name="cf_total")).get("cf_total", 0) or 0
         )

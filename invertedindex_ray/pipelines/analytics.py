@@ -11,6 +11,8 @@ offline; the stemmed path is pytest-gated against Porter2 vectors.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -25,7 +27,7 @@ NOSTEM = IndexConfig(stemming=False)
 def _read_docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 class _TokenizeDocs(TokenizeStage):

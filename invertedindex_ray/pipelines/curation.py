@@ -21,6 +21,8 @@ corpus — a doc's postings never leave their batch.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -46,7 +48,7 @@ DEFAULT_PERMILLE = 100
 def _docs(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _rpq(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _str_col(batch: pa.Table, name: str) -> pa.Array:
@@ -526,7 +528,7 @@ def export_shards(
         tagged.write_parquet(out_dir, partition_cols=["shard"])
         import ray.data as rd
 
-        tagged = rd.read_parquet(out_dir)  # manifest from what was WRITTEN
+        tagged = _rpq(out_dir)  # manifest from what was WRITTEN
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -702,7 +704,7 @@ def mix_rebalance(sf_dir: str, weights: dict[str, float] | None = None):
     weights = DRIVER_MIX if weights is None else weights
     out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
 
-    docs = rd.read_parquet(
+    docs = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 

@@ -27,6 +27,8 @@ sizes. Scale notes are in each function's docstring.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import hashlib
 import logging
 
@@ -89,7 +91,7 @@ from invertedindex_ray.functions.grouping import (  # noqa: E402
 def _read_docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # ------------------------------------------------------------- exact dedup
@@ -934,7 +936,7 @@ def passage_dedup(sf_dir: str, *, words_per_passage: int = 8,
     def _docs_blocks():
         import ray.data as rd
 
-        return rd.read_parquet(
+        return _rpq(
             docs_path, columns=["doc_id", "text"], override_num_blocks=read_blocks
         )
 
@@ -1369,7 +1371,7 @@ def dedup_filter(sf_dir: str, **lsh_kw):
         removal_schema,
     )
 
-    docs = rd.read_parquet(
+    docs = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     if n_rm == 0:
@@ -1423,7 +1425,7 @@ def dedup_keep_best(sf_dir: str, **lsh_kw):
     clus_schema = pa.schema([("doc_id", pa.int64()), ("cluster_rep", pa.int64())])
     removal_schema = pa.schema([("doc_id", pa.int64()), ("_rm", pa.int64())])
 
-    docs = rd.read_parquet(
+    docs = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
 

@@ -27,6 +27,8 @@ materialized corpus-wide.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -129,7 +131,7 @@ def phrase_search(
     as a contiguous token sequence; overlapping occurrences counted."""
     phrases = DRIVER_PHRASES if phrases is None else phrases
     split = [p.split() for p in phrases]
-    ds = ray.data.read_parquet(
+    ds = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(

@@ -31,6 +31,8 @@ the matched terms' df, not the corpus.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import hashlib
 import os
 
@@ -268,7 +270,7 @@ def build_positional_index(
     os.makedirs(index_dir, exist_ok=True)
     with open(fp_file, "w") as f:
         f.write(fp)
-    rows = rd.read_parquet(
+    rows = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         lambda b: _explode_positions(b, num_buckets), batch_format="pyarrow"
@@ -355,7 +357,7 @@ def phrase_search_indexed(
     ]
     if not paths:
         return rd_empty(_OUT_SCHEMA)
-    postings = rd.read_parquet(
+    postings = _rpq(
         paths,
         columns=["term", "doc_id", "positions"],
         filter=pc.field("term").isin(needed_terms),
@@ -479,7 +481,7 @@ def proximity_search_indexed(
     )
     if not paths:
         return rd_empty(PROX_SCHEMA)
-    postings = rd.read_parquet(
+    postings = _rpq(
         paths,
         columns=["term", "doc_id", "positions"],
         filter=pc.field("term").isin(needed_terms),
@@ -614,7 +616,7 @@ def snippet_windows_indexed(
     )
     if not paths:
         return rd_empty(SNIP_SCHEMA)
-    postings = rd.read_parquet(
+    postings = _rpq(
         paths,
         columns=["term", "doc_id", "positions"],
         filter=pc.field("term").isin(needed_terms),

@@ -23,6 +23,8 @@ only (query, doc_id, n_pairs, min_dist) rows.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -138,7 +140,7 @@ def proximity_search(
     term_b co-occur within ``window`` token positions; n_pairs counts
     every in-window (a, b) occurrence pair, min_dist is the closest."""
     queries = DRIVER_PROX if queries is None else queries
-    ds = ray.data.read_parquet(
+    ds = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(

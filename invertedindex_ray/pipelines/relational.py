@@ -8,6 +8,8 @@ except the per-user grouping in late_events) with exact DuckDB mirrors.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import json
 
 import numpy as np
@@ -19,7 +21,7 @@ from invertedindex_ray.functions.hashing import md5_hash63
 def _events(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _rpq(f"{sf_dir}/events.parquet", columns=columns)
 
 
 #: Per-key group row bound for the one-key-per-task operators (as-of
@@ -88,7 +90,7 @@ def sample_docs(sf_dir: str, *, rate_permille: int = 100):
     import ray.data as rd
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
         .map_batches(f, batch_format="pyarrow")
     )
 

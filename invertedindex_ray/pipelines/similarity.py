@@ -21,6 +21,8 @@ bounded partial-top-k merges — never a full-table read.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,7 +33,7 @@ from invertedindex_ray.functions.rounding import round_half_up
 def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _rpq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 # Hard bounds for the driver-materializing paths. Nothing in the scale
@@ -415,7 +417,7 @@ def knn_label_vote(sf_dir: str, *, n_queries: int = 20, k: int = 10):
     ref = ray.put((qids, qmat, qnorm))
     qid_set = set(int(q) for q in qids)
 
-    emb_ds = rd.read_parquet(
+    emb_ds = _rpq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
@@ -487,7 +489,7 @@ def knn_label_vote(sf_dir: str, *, n_queries: int = 20, k: int = 10):
 
     true_of = {
         int(r["vec_id"]): int(r["label"])
-        for r in rd.read_parquet(
+        for r in _rpq(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
         ).map_batches(pick, batch_format="pyarrow").take_all()
     }

@@ -20,6 +20,8 @@ reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -31,7 +33,7 @@ _SPLIT = r"[^a-z0-9]+"
 def _read_docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _batch_term_counts(batch: pa.Table) -> pa.Table:

@@ -26,6 +26,8 @@ is exact in int64). No loop over docs, positions, or windows.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -112,7 +114,7 @@ def snippet_windows(
     window of ``w`` tokens holding the most query-term occurrences
     (earliest anchor on ties); docs with zero hits emit nothing."""
     queries = DRIVER_SNIPPETS if queries is None else queries
-    ds = ray.data.read_parquet(
+    ds = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(

@@ -4,6 +4,8 @@ map_batches; language marker sets and regexes are per-actor state."""
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import hashlib
 import re
 
@@ -40,7 +42,7 @@ _LANG_MARKERS: dict[str, frozenset] = {
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return _rpq(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # ------------------------------------------------------------- token count

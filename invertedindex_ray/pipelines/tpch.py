@@ -16,6 +16,8 @@ same IEEE ops on both sides.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -58,7 +60,7 @@ def q1_pricing_summary(sf_dir: str, *, cutoff: str = "1998-09-02"):
     from invertedindex_ray.functions.rounding import round_half_up
 
     cut = _ts_us(cutoff)
-    li = rd.read_parquet(
+    li = _rpq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
@@ -165,7 +167,7 @@ def q6_revenue(
     import ray.data as rd
 
     lo, hi = _ts_us(date_from), _ts_us(date_to)
-    li = rd.read_parquet(
+    li = _rpq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
         filter=(pds.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
@@ -241,14 +243,14 @@ def q3_top_orders(
     # produce schema-less empty blocks that crash Acero's hash-join
     # partition builder (grouping.py's round-2 finding)
     cust, _ = materialized_nonempty(
-        rd.read_parquet(
+        _rpq(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_mktsegment"],
             filter=pds.field("c_mktsegment") == segment,
         ).select_columns(["c_custkey"]),
         pa.schema([("c_custkey", pa.int64())]),
     )
-    orders = rd.read_parquet(
+    orders = _rpq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pds.field("o_orderdate")
@@ -264,7 +266,7 @@ def q3_top_orders(
                    ("o_orderdate", pa.timestamp("us"))]),
     )
 
-    li = rd.read_parquet(
+    li = _rpq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pds.field("l_shipdate") > pa.scalar(cut, pa.timestamp("us")),
@@ -446,7 +448,7 @@ def q5_local_supplier_volume(
         [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
     )
     supp, _ = materialized_nonempty(
-        rd.read_parquet(
+        _rpq(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
         ).map_batches(
             _nation_filter("s_nationkey", supp_schema), batch_format="pyarrow"
@@ -457,14 +459,14 @@ def q5_local_supplier_volume(
         [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
     )
     cust, _ = materialized_nonempty(
-        rd.read_parquet(
+        _rpq(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         ).map_batches(
             _nation_filter("c_nationkey", cust_schema), batch_format="pyarrow"
         ),
         cust_schema,
     )
-    orders = rd.read_parquet(
+    orders = _rpq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pds.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
@@ -479,7 +481,7 @@ def q5_local_supplier_volume(
         pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
     )
 
-    li = rd.read_parquet(
+    li = _rpq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -576,13 +578,13 @@ def q14_promo_share(
     from invertedindex_ray.functions.rounding import round_half_up
 
     lo, hi = _ts_us(date_from), _ts_us(date_to)
-    li = rd.read_parquet(
+    li = _rpq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pds.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
         & (pds.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us"))),
     )
-    part_t = rd.read_parquet(
+    part_t = _rpq(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     )
 

@@ -16,6 +16,8 @@ Both have exact DuckDB oracles (driver contract).
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -25,7 +27,7 @@ _HOUR_US = 3_600_000_000
 def _events(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _rpq(f"{sf_dir}/events.parquet", columns=columns)
 
 
 

@@ -20,6 +20,8 @@ Ray Data, streaming decompression/splitting/parallel reads come from
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import numpy as np
 import pyarrow as pa
 
@@ -151,7 +153,7 @@ def read_pages_from_documents(sf_dir: str):
     so only (doc_id, text, lang, source) leave storage)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _rpq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     return ds.map_batches(documents_to_pages_batch, batch_format="pyarrow")

@@ -13,6 +13,8 @@ expected index.
 
 from __future__ import annotations
 
+from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
 import os
 
 import pyarrow as pa
@@ -48,7 +50,7 @@ def dump_textual_index(index_dir: str, out_dir: str):
     textual lexicon (TextualIndexer.java:84-183). Returns the Dataset."""
     import ray.data as rd
 
-    seg = rd.read_parquet(os.path.join(index_dir, "segments"))
+    seg = _rpq(os.path.join(index_dir, "segments"))
     out = seg.map_batches(_decode_batch, batch_format="pyarrow").sort(["term", "part"])
     out.write_csv(out_dir)
     return out
