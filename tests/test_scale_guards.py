@@ -292,3 +292,19 @@ class TestGroupbyEmptySplits:
         out = funnel_counts(str(d)).to_pandas().sort_values("step")
         assert list(out["n_users"]) == [3, 2, 1]
         assert out["n_users"].dtype == np.int64
+
+
+class TestPositionalBucketDerivation:
+    def test_bucket_count_scales_with_corpus(self, tmp_path, monkeypatch):
+        from invertedindex_ray.pipelines.positional import _derived_buckets
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t = pa.table({"doc_id": pa.array(np.arange(500), type=pa.int64())})
+        pq.write_table(t, d / "documents.parquet")
+        assert _derived_buckets(str(d)) == 32  # small corpus keeps the floor
+
+        import invertedindex_ray.functions.grouping as g
+
+        monkeypatch.setattr(g, "parquet_num_rows", lambda p: 100_000_000)
+        assert _derived_buckets(str(d)) > 32
