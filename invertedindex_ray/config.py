@@ -28,6 +28,11 @@ class IndexConfig:
     bm25_b: float = 0.75
 
     # --- index layout ---
+    # On-disk posting-stream codec: "vb" (reference layout,
+    # EncodingUtils.java:14-76), "gamma" or "delta" (Elias bit-aligned
+    # codes — denser on small d-gaps; bit-aligned streams carry no skip
+    # pointers, so their cursors decode whole lists).
+    codec: str = "vb"
     skip_pointers_threshold: int = 1024   # Constants.java:39 — df above which skips exist
     # Document-partitioned sharding: each posting list is split into
     # `num_doc_partitions` contiguous doc-id ranges; partitions build and
@@ -51,6 +56,14 @@ class IndexConfig:
     max_query_terms: int = 32
     query_cache_size: int = 500
 
+    def __post_init__(self) -> None:
+        if self.codec not in ("vb", "gamma", "delta"):
+            raise ValueError(
+                f"unknown codec {self.codec!r} (one of 'vb', 'gamma', 'delta')"
+            )
+        if self.id_mode not in ("dense", "hash"):
+            raise ValueError(f"unknown id_mode {self.id_mode!r}")
+
     def fingerprint(self) -> str:
         """Stable hash of the config — stamped into the build manifest so a
         resume never mixes artifacts built under different settings."""
@@ -63,8 +76,8 @@ class IndexConfig:
     LAYOUT_FIELDS = (
         "stemming", "stopwords", "max_term_len",
         "bm25_k1", "bm25_b",
-        "skip_pointers_threshold", "num_doc_partitions", "num_buckets",
-        "id_mode",
+        "codec", "skip_pointers_threshold", "num_doc_partitions",
+        "num_buckets", "id_mode",
     )
 
     def save(self, index_dir: str) -> None:

@@ -176,12 +176,16 @@ class LazyPostingCursor:
     __slots__ = (
         "term", "tub", "rows", "row_i", "_dblob", "_tblob", "_skips",
         "_n_blocks", "_block", "_ids", "_tfs", "pos", "doc_id", "tf",
+        "stream_codec",
     )
 
-    def __init__(self, term: str, tub: float, rows: list[tuple[int, bytes, bytes, bytes]]):
+    def __init__(self, term: str, tub: float,
+                 rows: list[tuple[int, bytes, bytes, bytes]],
+                 stream_codec: str = "vb"):
         self.term = term
         self.tub = tub
         self.rows = rows  # [(part, doc_ids_vb, tfs_vb, skips)], part-sorted
+        self.stream_codec = stream_codec  # gamma/delta rows carry no skips
         self.row_i = -1
         self._block = -1
         self._n_blocks = 0
@@ -206,14 +210,16 @@ class LazyPostingCursor:
         tstart = 0 if k == 0 else int(s[k - 1, 2])
         dend = int(s[k, 1]) if k < len(s) else len(self._dblob)
         tend = int(s[k, 2]) if k < len(s) else len(self._tblob)
-        gaps = codec.vb_decode(self._dblob[dstart:dend]).astype(np.int64)
+        gaps = codec.decode_stream(self._dblob[dstart:dend], self.stream_codec)
         ids = np.cumsum(gaps)
         if k > 0:
             # first gap spans the block boundary; the skip entry carries
             # the absolute first doc id of this block
             ids += int(s[k - 1, 0]) - int(gaps[0])
         self._ids = ids
-        self._tfs = codec.vb_decode(self._tblob[tstart:tend]).astype(np.int64)
+        self._tfs = codec.decode_stream(
+            self._tblob[tstart:tend], self.stream_codec
+        )
         self._block = k
         self.pos = -1
 
@@ -571,7 +577,9 @@ class QueryEngine:
             return None
         ids_parts, tf_parts = [], []
         for _, dvb, tvb, _skips in rows:
-            ids, tfs = codec.decode_posting_list(dvb, tvb)
+            ids, tfs = codec.decode_posting_list(
+                dvb, tvb, getattr(self.config, "codec", "vb")
+            )
             ids_parts.append(ids)
             tf_parts.append(tfs)
         ids = np.concatenate(ids_parts)
@@ -692,7 +700,12 @@ class QueryEngine:
                     if qtype == "and":
                         return []
                     continue
-                cursors.append(LazyPostingCursor(tok, row[2], seg_rows))
+                cursors.append(
+                    LazyPostingCursor(
+                        tok, row[2], seg_rows,
+                        stream_codec=getattr(self.config, "codec", "vb"),
+                    )
+                )
             else:
                 p = self.get_postings(tok)
                 if p is None:

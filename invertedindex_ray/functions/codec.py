@@ -158,11 +158,15 @@ def encode_posting_list(
     return doc_stream.tobytes(), tf_stream.tobytes(), skips
 
 
-def decode_posting_list(doc_ids_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of :func:`encode_posting_list` (ignores skips)."""
-    gaps = vb_decode(doc_ids_vb).astype(np.int64)
+def decode_posting_list(
+    doc_ids_vb: bytes, tfs_vb: bytes, stream_codec: str = "vb"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_posting_list` (ignores skips);
+    ``stream_codec`` selects the on-disk codec the blobs were written
+    with (IndexConfig.codec)."""
+    gaps = decode_stream(doc_ids_vb, stream_codec)
     ids = dgap_decode(gaps)
-    tfs = vb_decode(tfs_vb).astype(np.int64)
+    tfs = decode_stream(tfs_vb, stream_codec)
     return ids, tfs
 
 
@@ -283,3 +287,56 @@ def elias_delta_decode(blob: bytes, total_bits: int) -> np.ndarray:
         out.append(v)
         pos = first_one + llen + length - 1
     return np.asarray(out, dtype=np.uint64)
+
+# ------------------------------------------------- codec-dispatch helpers
+
+#: On-disk posting-stream codecs an index can be built with
+#: (IndexConfig.codec). "vb" is the reference's layout
+#: (EncodingUtils.java:14-76); gamma/delta are the classic bit-aligned
+#: alternatives (Elias, IEEE-IT 1975) — denser on small d-gaps, at the
+#: cost of skip-pointer support (skips store BYTE offsets, so bit-aligned
+#: streams decode whole lists; see stages/segment.py).
+STREAM_CODECS = ("vb", "gamma", "delta")
+
+
+def encode_stream(values: np.ndarray, stream_codec: str = "vb") -> bytes:
+    """One posting-stream blob under ``stream_codec``. VB blobs are the
+    raw byte stream (layout identical to rounds 1-4). Gamma/delta blobs
+    are self-describing: a little-endian uint32 total-bit count, then the
+    packed bits; values are shifted +1 on the wire because Elias codes
+    encode >= 1 only and dense doc ids / first gaps can be 0."""
+    import struct
+
+    v = np.asarray(values, dtype=np.int64)
+    if stream_codec == "vb":
+        stream, _ends = vb_encode(v)
+        return stream.tobytes()
+    if stream_codec == "gamma":
+        blob, bits = elias_gamma_encode(v.astype(np.uint64) + np.uint64(1))
+    elif stream_codec == "delta":
+        blob, bits = elias_delta_encode(v.astype(np.uint64) + np.uint64(1))
+    else:
+        raise ValueError(f"unknown stream codec {stream_codec!r} "
+                         f"(one of {STREAM_CODECS})")
+    return struct.pack("<I", bits) + blob
+
+
+def decode_stream(blob: bytes, stream_codec: str = "vb") -> np.ndarray:
+    """Inverse of :func:`encode_stream`."""
+    import struct
+
+    if stream_codec == "vb":
+        return vb_decode(blob).astype(np.int64)
+    if not blob:
+        return np.empty(0, dtype=np.int64)
+    (bits,) = struct.unpack("<I", blob[:4])
+    body = blob[4:]
+    if stream_codec == "gamma":
+        vals = elias_gamma_decode(body, bits)
+    elif stream_codec == "delta":
+        vals = elias_delta_decode(body, bits)
+    else:
+        raise ValueError(f"unknown stream codec {stream_codec!r} "
+                         f"(one of {STREAM_CODECS})")
+    return vals.astype(np.int64) - 1
+

@@ -92,6 +92,7 @@ def _repartition_runs(
     avg_doc_len: float,
     k1: float,
     b: float,
+    stream_codec: str = "vb",
     doc_len_arr: np.ndarray,
     doc_ids_arr: np.ndarray | None,
     delete_sorted: np.ndarray | None = None,
@@ -114,8 +115,22 @@ def _repartition_runs(
     import pyarrow.compute as pc
 
     row_len = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gaps = codec.vb_decode(_concat_blobs(batch["doc_ids_vb"])).astype(np.int64)
-    tf = codec.vb_decode(_concat_blobs(batch["tfs_vb"])).astype(np.int64)
+    if stream_codec == "vb":
+        gaps = codec.vb_decode(_concat_blobs(batch["doc_ids_vb"])).astype(np.int64)
+        tf = codec.vb_decode(_concat_blobs(batch["tfs_vb"])).astype(np.int64)
+    else:
+        # bit-aligned blobs are self-describing per run: decode each and
+        # concatenate (non-default path; transport stays VB below)
+        gaps = np.concatenate(
+            [codec.decode_stream(blob, stream_codec)
+             for blob in batch["doc_ids_vb"].to_pylist()]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        tf = np.concatenate(
+            [codec.decode_stream(blob, stream_codec)
+             for blob in batch["tfs_vb"].to_pylist()]
+            or [np.empty(0, dtype=np.int64)]
+        )
     starts = np.zeros(len(row_len), dtype=np.int64)
     np.cumsum(row_len[:-1], out=starts[1:])
     c = np.cumsum(gaps)
@@ -208,6 +223,7 @@ def _shard_partials(index_dir: str, id_offset: int, divisor: int,
             id_offset=id_offset,
             divisor=divisor,
             num_buckets=cfg.num_buckets,
+            stream_codec=getattr(cfg, "codec", "vb"),
             avg_doc_len=avg_new,
             k1=cfg.bm25_k1,
             b=cfg.bm25_b,

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 
 
-def _decode_batch(batch: pa.Table) -> pa.Table:
+def _decode_batch(batch: pa.Table, stream_codec: str = "vb") -> pa.Table:
     from invertedindex_ray.functions import codec
 
     terms = batch["term"].to_pylist()
@@ -30,7 +30,7 @@ def _decode_batch(batch: pa.Table) -> pa.Table:
     tvb = batch["tfs_vb"].to_pylist()
     id_strs, tf_strs = [], []
     for d, t in zip(dvb, tvb):
-        ids, tfs = codec.decode_posting_list(d, t)
+        ids, tfs = codec.decode_posting_list(d, t, stream_codec)
         id_strs.append(" ".join(map(str, ids.tolist())))
         tf_strs.append(" ".join(map(str, tfs.tolist())))
     return pa.table(
@@ -48,9 +48,18 @@ def dump_textual_index(index_dir: str, out_dir: str):
     """Decode ``index_dir/segments`` and write the ASCII mirror to
     ``out_dir`` as CSV, globally sorted by (term, part) like the merged
     textual lexicon (TextualIndexer.java:84-183). Returns the Dataset."""
+    import functools
+
     import ray.data as rd
 
+    from invertedindex_ray.config import IndexConfig
+
+    cfg = IndexConfig.load(index_dir)
+    stream_codec = getattr(cfg, "codec", "vb") if cfg is not None else "vb"
     seg = _rpq(os.path.join(index_dir, "segments"))
-    out = seg.map_batches(_decode_batch, batch_format="pyarrow").sort(["term", "part"])
+    out = seg.map_batches(
+        functools.partial(_decode_batch, stream_codec=stream_codec),
+        batch_format="pyarrow",
+    ).sort(["term", "part"])
     out.write_csv(out_dir)
     return out

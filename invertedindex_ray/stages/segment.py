@@ -125,15 +125,6 @@ class SegmentWriter:
         gaps = doc_id.copy()
         gaps[1:] -= doc_id[:-1]
         gaps[run_starts] = doc_id[run_starts]
-        doc_stream, doc_ends = codec.vb_encode(gaps)
-        tf_stream, tf_ends = codec.vb_encode(tf)
-
-        # per-run byte slices
-        run_doc_start = np.where(run_starts > 0, doc_ends[run_starts - 1], 0)
-        run_doc_end = doc_ends[run_ends - 1]
-        run_tf_start = np.where(run_starts > 0, tf_ends[run_starts - 1], 0)
-        run_tf_end = tf_ends[run_ends - 1]
-
         # per-(term, part) stats: merge the per-batch partial aggregates
         row_order = np.lexsort((row_part, row_codes))
         rc, rp = row_codes[row_order], row_part[row_order]
@@ -145,30 +136,56 @@ class SegmentWriter:
         cf = np.add.reduceat(row_cf[row_order], rstarts)
         maxp = np.maximum.reduceat(row_maxp[row_order], rstarts)
 
-        doc_bytes = doc_stream.tobytes()
-        tf_bytes = tf_stream.tobytes()
-        threshold = self.config.skip_pointers_threshold
-        n_runs = len(run_starts)
-        doc_blobs: list[bytes] = []
-        tf_blobs: list[bytes] = []
-        skip_blobs: list[bytes] = []
-        for r in range(n_runs):
-            ds0, ds1 = int(run_doc_start[r]), int(run_doc_end[r])
-            ts0, ts1 = int(run_tf_start[r]), int(run_tf_end[r])
-            doc_blobs.append(doc_bytes[ds0:ds1])
-            tf_blobs.append(tf_bytes[ts0:ts1])
-            if df[r] > threshold:
-                s, e = run_starts[r], run_ends[r]
-                skip_blobs.append(
-                    codec.build_skips(
-                        doc_id[s:e],
-                        doc_ends[s:e] - ds0,
-                        tf_ends[s:e] - ts0,
-                        threshold,
+        stream_codec = getattr(self.config, "codec", "vb")
+        if stream_codec == "vb":
+            doc_stream, doc_ends = codec.vb_encode(gaps)
+            tf_stream, tf_ends = codec.vb_encode(tf)
+
+            # per-run byte slices
+            run_doc_start = np.where(run_starts > 0, doc_ends[run_starts - 1], 0)
+            run_doc_end = doc_ends[run_ends - 1]
+            run_tf_start = np.where(run_starts > 0, tf_ends[run_starts - 1], 0)
+            run_tf_end = tf_ends[run_ends - 1]
+
+            doc_bytes = doc_stream.tobytes()
+            tf_bytes = tf_stream.tobytes()
+            threshold = self.config.skip_pointers_threshold
+            n_runs = len(run_starts)
+            doc_blobs: list[bytes] = []
+            tf_blobs: list[bytes] = []
+            skip_blobs: list[bytes] = []
+            for r in range(n_runs):
+                ds0, ds1 = int(run_doc_start[r]), int(run_doc_end[r])
+                ts0, ts1 = int(run_tf_start[r]), int(run_tf_end[r])
+                doc_blobs.append(doc_bytes[ds0:ds1])
+                tf_blobs.append(tf_bytes[ts0:ts1])
+                if df[r] > threshold:
+                    s, e = run_starts[r], run_ends[r]
+                    skip_blobs.append(
+                        codec.build_skips(
+                            doc_id[s:e],
+                            doc_ends[s:e] - ds0,
+                            tf_ends[s:e] - ts0,
+                            threshold,
+                        )
                     )
-                )
-            else:
-                skip_blobs.append(b"")
+                else:
+                    skip_blobs.append(b"")
+        else:
+            # Elias gamma/delta: bit-aligned self-describing blobs, one
+            # encode per run (the non-default path; skip pointers store
+            # BYTE offsets into a VB stream, so bit-aligned runs carry
+            # none and their cursors decode the whole list)
+            n_runs = len(run_starts)
+            doc_blobs = [
+                codec.encode_stream(gaps[s:e], stream_codec)
+                for s, e in zip(run_starts, run_ends)
+            ]
+            tf_blobs = [
+                codec.encode_stream(tf[s:e], stream_codec)
+                for s, e in zip(run_starts, run_ends)
+            ]
+            skip_blobs = [b""] * n_runs
 
         run_terms = vocab.take(pa.array(term_codes[run_starts], type=pa.int64()))
         seg_table = pa.table(
