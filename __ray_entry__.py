@@ -1584,6 +1584,97 @@ pos AS (
 """
 
 
+def _kmeans_ctes(k: int = 10, iters: int = 5, dim: int = 64) -> str:
+    """Unrolled Lloyd k-means as chained CTEs (iters is small and fixed,
+    so recursion is unnecessary — each iteration is one assignment CTE +
+    one centroid-update CTE). Mirrors pipelines/clustering.py exactly:
+    init = first k vectors by vec_id; assignment = nearest centroid by
+    euclidean with ties to the LOWEST cluster index (np.argmin); update
+    = per-dim mean of members; empty clusters keep their previous
+    centroid. Purely data-derived — valid at any sf."""
+    parts = [
+        f"""
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         embedding::DOUBLE[] AS v
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+asg{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.v), c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT cluster, list(m ORDER BY dim) AS v FROM (
+    SELECT a.cluster AS cluster, d.dim AS dim,
+           avg(e.embedding[d.dim + 1]::DOUBLE) AS m
+    FROM asg{i} a
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS dim) d
+    GROUP BY 1, 2
+  ) GROUP BY cluster
+),
+cent{i + 1} AS (
+  SELECT c.cluster, coalesce(u.v, c.v) AS v
+  FROM cent{i} c LEFT JOIN upd{i} u USING (cluster)
+)"""
+        )
+    parts.append(
+        f"""
+asg_final AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT e.vec_id, c.cluster,
+           list_distance(e.embedding::DOUBLE[], c.v) AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.v), c.cluster
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_clusters_sql() -> str:
+    return (
+        _kmeans_ctes()
+        + """
+SELECT vec_id, cluster, round(dist, 6) AS dist_r FROM asg_final
+"""
+    )
+
+
+def _semantic_dedup_sql(tau: float = 0.4) -> str:
+    """SemDeDup mirror: same-cluster pairs (vec_a < vec_b) under the
+    converged assignment with ROUNDED cosine >= tau (the pipeline
+    filters on the rounded value — keep the mirror identical)."""
+    return (
+        _kmeans_ctes()
+        + f""",
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
+         round(list_cosine_similarity(
+           ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_r
+  FROM asg_final a
+  JOIN asg_final b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, cluster, cos_r FROM pairs WHERE cos_r >= {tau}
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "phrase_search": _phrase_sql(),
@@ -1595,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
         "snippet_windows": _snippet_sql(),
         "topk_daat": _topk_daat_sql(),
         "topk_daat_nostem": _topk_daat_nostem_sql(),
+        # Lloyd k-means unrolled as chained CTEs (5 fixed iterations) —
+        # converts the two iterative entries from rows-only to hash-checked
+        "kmeans_clusters": _kmeans_clusters_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # WAND/BMW return the same top-k as MaxScore (see engine
         # docstrings): the identical oracle re-checks that equivalence
         # end-to-end

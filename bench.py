@@ -379,6 +379,19 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
             sum(tr["n"].to_pylist())
         )
 
+    if "dedup_sigs" in components:
+        # the signature stage of the minhash pipeline ALONE (pure-CPU
+        # md5+mulmod map, no shuffle) — the scaling-forensics probe that
+        # separates "the compute scales" from "the LSH exchange has a
+        # fixed single-box latency" (BASELINE.md round-5 dedup section)
+        from invertedindex_ray.pipelines.dedup import minhash_signatures
+
+        docs_dir = ensure_docs_dir()
+        t0 = time.time()
+        n_sigs = minhash_signatures(docs_dir).count()
+        queries["dedup_sigs"] = round(time.time() - t0, 3)
+        detail["dedup_sigs_rows"] = int(n_sigs)
+
     if "dedup_minhash_big" in components:
         # the minhash pipeline at a size where the shuffle (not operator
         # startup) dominates — the scaling-evidence twin of dedup_minhash

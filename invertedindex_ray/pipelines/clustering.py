@@ -10,9 +10,10 @@ semantic deduplication built on top of it.
   updates centroids. Init is the first k vectors by vec_id —
   deterministic, no RNG (same convention as IVF in similarity.py).
 - :func:`kmeans_clusters` — final assignment pass: (vec_id, cluster,
-  dist_r). Iterative, so no SQL oracle exists (rows-only in the
-  driver contract); pytest checks assignments against a pure-numpy
-  Lloyd oracle.
+  dist_r). SQL-oracled since r5: the fixed 5 Lloyd iterations unroll
+  as chained CTEs in the DuckDB mirror (__ray_entry__._kmeans_ctes);
+  pytest additionally checks assignments against a pure-numpy Lloyd
+  oracle.
 - :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023,
   arXiv:2303.09540): cluster first, then exact pairwise cosine WITHIN
   each cluster only — the cluster structure bounds the quadratic pair

@@ -225,6 +225,61 @@ def _mulmod_minhash(A: np.ndarray, B: np.ndarray, x: np.ndarray, P) -> np.ndarra
     return t.min(axis=1)
 
 
+def minhash_signatures(
+    sf_dir: str,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    hasher: str = "md5",
+):
+    """Materialized (doc_id, sig) MinHash signature table — the
+    embarrassingly-parallel stage of the LSH pipeline, exposed on its
+    own so (a) signatures can be computed once and fed to several
+    downstream policies, and (b) the bench can measure the pure-CPU
+    stage separately from the LSH shuffle (scaling forensics). ``sig``
+    is the fixed-width little-endian int64 blob ``minhash_lsh_pairs``
+    consumes."""
+    if hasher not in ("md5", "siphash"):
+        raise ValueError(f"unknown hasher {hasher!r} (md5 | siphash)")
+    P = np.uint64((1 << 61) - 1)
+    A, B = minhash_perms(num_perm)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # md5 shingle hashes: SQL-mirrorable (see oracle_sql)
+        shingles = _shingle_hashes(texts, shingle_k, hasher=hasher)
+        doc_ids, sigs = [], []
+        for d, sh in zip(ids, shingles):
+            if len(sh) == 0:
+                continue
+            # minhash: min over shingles of (a*x+b) mod p, per permutation.
+            # a*x needs 122 bits, so split both operands and reduce mod
+            # P = 2^61-1 (Mersenne: 2^61 ≡ 1 mod P) entirely in uint64 —
+            # a plain uint64 multiply would wrap mod 2^64 and lose the
+            # universal-hash property. Per-doc (64, n_shingles) arrays
+            # stay cache-resident — a whole-batch reduceat variant was
+            # MEASURED SLOWER (temporaries spill L2; chunk=256 cost 3x).
+            x = sh.astype(np.uint64) % P
+            # fixed-width little-endian blob: hash-join payloads must be a
+            # primitive/binary type (Acero rejects list columns), and a
+            # blob unpacks to (n, num_perm) int64 with one frombuffer
+            sigs.append(_mulmod_minhash(A, B, x, P).astype("<i8").tobytes())
+            doc_ids.append(int(d))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64), type=pa.int64()),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(signatures, batch_format="pyarrow")
+        .materialize()  # reused twice: band derivation + pair verification
+    )
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     *,
@@ -272,42 +327,9 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown hasher {hasher!r} (md5 | siphash)")
     rows_per_band = num_perm // bands
     assert num_perm % bands == 0
-    P = np.uint64((1 << 61) - 1)
-    A, B = minhash_perms(num_perm)
 
-    def signatures(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        # md5 shingle hashes: SQL-mirrorable (see oracle_sql)
-        shingles = _shingle_hashes(texts, shingle_k, hasher=hasher)
-        doc_ids, sigs = [], []
-        for d, sh in zip(ids, shingles):
-            if len(sh) == 0:
-                continue
-            # minhash: min over shingles of (a*x+b) mod p, per permutation.
-            # a*x needs 122 bits, so split both operands and reduce mod
-            # P = 2^61-1 (Mersenne: 2^61 ≡ 1 mod P) entirely in uint64 —
-            # a plain uint64 multiply would wrap mod 2^64 and lose the
-            # universal-hash property. Per-doc (64, n_shingles) arrays
-            # stay cache-resident — a whole-batch reduceat variant was
-            # MEASURED SLOWER (temporaries spill L2; chunk=256 cost 3x).
-            x = sh.astype(np.uint64) % P
-            # fixed-width little-endian blob: hash-join payloads must be a
-            # primitive/binary type (Acero rejects list columns), and a
-            # blob unpacks to (n, num_perm) int64 with one frombuffer
-            sigs.append(_mulmod_minhash(A, B, x, P).astype("<i8").tobytes())
-            doc_ids.append(int(d))
-        return pa.table(
-            {
-                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64), type=pa.int64()),
-                "sig": pa.array(sigs, type=pa.binary()),
-            }
-        )
-
-    sigs = (
-        _read_docs(sf_dir)
-        .map_batches(signatures, batch_format="pyarrow")
-        .materialize()  # reused twice: band derivation + pair verification
+    sigs = minhash_signatures(
+        sf_dir, num_perm=num_perm, shingle_k=shingle_k, hasher=hasher
     )
 
     def to_band_rows(batch: pa.Table) -> pa.Table:

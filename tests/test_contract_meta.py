@@ -31,8 +31,8 @@ class TestContractMeta:
         allowed = {
             "cms_term_counts",       # approximate by construction
             "hll_distinct_terms",    # approximate by construction
-            "kmeans_clusters",       # iterative (numpy-Lloyd pytest oracle)
-            "semantic_dedup",        # iterative (brute-force pytest oracle)
+            # kmeans_clusters / semantic_dedup graduated to SQL oracles
+            # in r5 (Lloyd unrolled as chained CTEs — _kmeans_ctes)
             "ann_ivf_pq_topk",       # iterative PQ training (pytest-gated)
             "ann_pq_recall",         # recall probe of the PQ path
             "topk_daat",             # legacy alias kept rows-only pre-r2;
