@@ -202,6 +202,66 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
             queries[label] = round(dt, 3)
             detail[label.split("_")[0] + "_qps"] = round(len(sub) / dt, 1)
 
+    if "bmw_skewed" in components:
+        # WAND vs BMW on the SKEWED corpus (doc-id runs alternate hot
+        # short/tf-boosted docs and cold long docs), where per-block
+        # score maxima genuinely vary along each posting list — the
+        # regime Ding & Suel built BMW for. The uniform corpus above is
+        # the honest null result (block max == list max, bmw == wand);
+        # this slot is the existence proof plus skip counters.
+        import numpy as np
+
+        from invertedindex_ray.engine import QueryEngine
+        from invertedindex_ray.sources.bench_corpus import _WORDS
+
+        from invertedindex_ray.sources.bench_corpus import _SKEW_FOCUS_RANKS
+
+        n_sk = min(n_docs, int(os.environ.get("BENCH_SKEW_DOCS", "120000")))
+        corpus_sk = ensure_corpus(n_sk, variant="skewed")
+        idx_sk = f"/tmp/iidx-bench-index-skewed-{n_sk}-" + os.path.basename(
+            corpus_sk
+        )
+        if not os.path.exists(os.path.join(idx_sk, "stats.json")):
+            shutil.rmtree(idx_sk, ignore_errors=True)
+            build_index(
+                rd.read_parquet(corpus_sk, columns=["url", "text"],
+                                override_num_blocks=n_blocks),
+                idx_sk, cfg,
+            )
+        rng = np.random.default_rng(17)
+        # topical queries over the hot-doc focus band: hot docs set a
+        # top-10 threshold ~2x above any cold block-max sum, so BMW can
+        # skip the cold doc-id ranges wholesale while classic WAND's
+        # list-level bounds cannot
+        focus_vocab = [w for w in _WORDS[slice(*_SKEW_FOCUS_RANKS)] if len(w) > 2]
+        # 2-3 focus terms: the top-10 threshold then needs every term to
+        # co-score, putting the BMW pivot at the LAST cursor, where block
+        # skips jump to block boundaries (see bench_corpus._SKEW_FOCUS_RANKS)
+        qs = [
+            " ".join(rng.choice(focus_vocab, size=int(rng.integers(2, 4)),
+                                replace=False))
+            for _ in range(300)
+        ]
+        for trav, label in (("wand", "wand_skewed_300q"), ("bmw", "bmw_skewed_300q")):
+            et = QueryEngine(idx_sk, cfg, traversal=trav)
+            for q in qs[:20]:  # warm segment/page cache, untimed
+                et.query("OR " + q, 10)
+            et = QueryEngine(idx_sk, cfg, traversal=trav)
+            scored = skips = 0
+            t0 = time.time()
+            for q in qs:
+                et.query("OR " + q, 10)
+                if trav == "bmw":
+                    st = getattr(et, "last_bmw_stats", None) or {}
+                    scored += st.get("scored", 0)
+                    skips += st.get("block_skips", 0)
+            dt = time.time() - t0
+            queries[label] = round(dt, 3)
+            detail[label.rsplit("_", 1)[0] + "_qps"] = round(len(qs) / dt, 1)
+            if trav == "bmw":
+                detail["bmw_skewed_docs_scored"] = int(scored)
+                detail["bmw_skewed_block_skips"] = int(skips)
+
     if "serve" in components:
         from invertedindex_ray.pipelines.serving import (
             serve_queries,
@@ -505,7 +565,7 @@ if __name__ == "__main__":
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
             "BENCH_COMPONENTS",
-            "build,daat,serve,topk_batch,dedup_minhash,ann,passages,"
-            "positional,curation,events",
+            "build,daat,bmw_skewed,serve,topk_batch,dedup_minhash,ann,"
+            "passages,positional,curation,events",
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))

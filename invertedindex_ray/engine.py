@@ -1020,19 +1020,25 @@ class QueryEngine:
                 break  # no remaining doc can beat the threshold
             pivot_doc = live[pivot].doc_id
 
-            # shallow block-max check over the pivot prefix
+            # shallow block-max check over the pivot prefix — one
+            # _block_of walk per cursor serves BOTH the max and the
+            # boundary (the two-pass variant doubled the hottest call
+            # in the profile)
             bsum = 0.0
+            d_bound = _BMW_EXHAUSTED
             for c in live[: pivot + 1]:
-                bsum += c.block_max_for(pivot_doc)
+                j = c._block_of(pivot_doc)
+                if j < c._nb:
+                    bsum += c.block_max[j]
+                    if c.block_last[j] < d_bound:
+                        d_bound = c.block_last[j]
             if bsum <= threshold:
                 # whole block range is hopeless: jump past the nearest
                 # block boundary (GetNewCandidate). Every prefix cursor
                 # sits at doc_id <= pivot_doc, and its current block's
                 # last id is >= pivot_doc (or the sentinel), so
                 # boundary+1 > pivot_doc always.
-                d_next = (
-                    min(c.block_last_for(pivot_doc) for c in live[: pivot + 1]) + 1
-                )
+                d_next = d_bound + 1
                 if pivot + 1 < len(live):
                     d_next = min(d_next, live[pivot + 1].doc_id)
                 if d_next > pivot_doc:
