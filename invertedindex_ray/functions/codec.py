@@ -216,30 +216,52 @@ def elias_gamma_encode(values: np.ndarray) -> tuple[bytes, int]:
     return np.packbits(bits).tobytes(), total
 
 
+def _assemble_msb_first(bits: np.ndarray, firsts: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray:
+    """Vectorized big-endian integer assembly: value i is the ``lens[i]``
+    bits of ``bits`` starting at ``firsts[i]``, MSB first. One gather +
+    one reduceat — no per-bit Python loop."""
+    if not len(firsts):
+        return np.empty(0, dtype=np.uint64)
+    total = int(lens.sum())
+    seg_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=seg_starts[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    idx = np.repeat(firsts, lens) + within
+    weights = np.uint64(1) << (np.repeat(lens, lens) - 1 - within).astype(np.uint64)
+    terms = bits[idx].astype(np.uint64) * weights
+    return np.add.reduceat(terms, seg_starts)
+
+
 def elias_gamma_decode(blob: bytes, total_bits: int) -> np.ndarray:
     """Inverse of :func:`elias_gamma_encode`. The boundary scan is a
     per-code loop (codes are variable-width and self-delimiting — the
-    same sequential dependency every gamma decoder has); the binary part
-    of each code is assembled with int shifts."""
+    same sequential dependency every gamma decoder has), but it touches
+    only the code BOUNDARIES; the binary bodies are assembled afterwards
+    in one vectorized gather+reduceat pass (_assemble_msb_first)."""
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))[:total_bits]
-    out = []
+    firsts: list[int] = []
+    lens: list[int] = []
     pos = 0
     n = len(bits)
     set_positions = np.flatnonzero(bits)
     si = 0
+    n_set = len(set_positions)
     while pos < n:
-        while si < len(set_positions) and set_positions[si] < pos:
+        while si < n_set and set_positions[si] < pos:
             si += 1
-        if si >= len(set_positions):
+        if si >= n_set:
             break
         first_one = int(set_positions[si])
         length = first_one - pos + 1
-        v = 0
-        for b in bits[first_one:first_one + length]:
-            v = (v << 1) | int(b)
-        out.append(v)
+        firsts.append(first_one)
+        lens.append(length)
         pos = first_one + length
-    return np.asarray(out, dtype=np.uint64)
+    return _assemble_msb_first(
+        bits,
+        np.asarray(firsts, dtype=np.int64),
+        np.asarray(lens, dtype=np.int64),
+    )
 
 
 def elias_delta_encode(values: np.ndarray) -> tuple[bytes, int]:
@@ -264,29 +286,38 @@ def elias_delta_encode(values: np.ndarray) -> tuple[bytes, int]:
 
 
 def elias_delta_decode(blob: bytes, total_bits: int) -> np.ndarray:
-    """Inverse of :func:`elias_delta_encode`."""
+    """Inverse of :func:`elias_delta_encode`. The boundary scan decodes
+    each code's tiny gamma(length) header inline (<= 6 bits for 64-bit
+    values); the value bodies — the bulk of the stream — are assembled
+    in one vectorized pass, re-attaching the implicit leading 1 bit."""
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))[:total_bits]
-    out = []
+    body_starts: list[int] = []
+    body_lens: list[int] = []
     pos = 0
     n = len(bits)
     set_positions = np.flatnonzero(bits)
     si = 0
+    n_set = len(set_positions)
     while pos < n:
-        while si < len(set_positions) and set_positions[si] < pos:
+        while si < n_set and set_positions[si] < pos:
             si += 1
-        if si >= len(set_positions):
+        if si >= n_set:
             break
         first_one = int(set_positions[si])
         llen = first_one - pos + 1
         length = 0
         for b in bits[first_one:first_one + llen]:
             length = (length << 1) | int(b)
-        v = 1
-        for b in bits[first_one + llen:first_one + llen + length - 1]:
-            v = (v << 1) | int(b)
-        out.append(v)
+        body_starts.append(first_one + llen)
+        body_lens.append(length - 1)  # stored without the leading 1
         pos = first_one + llen + length - 1
-    return np.asarray(out, dtype=np.uint64)
+    starts = np.asarray(body_starts, dtype=np.int64)
+    lens = np.asarray(body_lens, dtype=np.int64)
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    has_body = lens > 0
+    if has_body.any():
+        vals[has_body] = _assemble_msb_first(bits, starts[has_body], lens[has_body])
+    return vals + (np.uint64(1) << lens.astype(np.uint64))
 
 # ------------------------------------------------- codec-dispatch helpers
 
