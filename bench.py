@@ -439,6 +439,34 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
             sum(tr["n"].to_pylist())
         )
 
+    if "quality" in components:
+        # retrieval-quality headline over the planted-relevance corpus
+        # (graded qrels fixed at GENERATION time — non-circular): build
+        # untimed, time the 50-query evaluation run; metrics land in
+        # detail. Context: the reference reports mAP 0.1935 / RR 0.1974
+        # / nDCG@10 0.2324 for BM25 over MS MARCO dev (different corpus
+        # and qrels depth — context, not a target; on a corpus with
+        # planted relevance BM25 should and does score near the top).
+        from invertedindex_ray.engine import QueryEngine
+        from invertedindex_ray.functions.evaluation import evaluate_run
+        from invertedindex_ray.sources.quality_corpus import synth_graded_corpus
+
+        n_q = min(n_docs, 50_000)
+        idx_q = f"/tmp/iidx-bench-quality-{n_q}"
+        table, qset, qrels, grades = synth_graded_corpus(n_q, n_topics=50)
+        if not os.path.exists(os.path.join(idx_q, "stats.json")):
+            shutil.rmtree(idx_q, ignore_errors=True)
+            build_index(rd.from_arrow(table), idx_q, cfg)
+        eq = QueryEngine(idx_q, cfg)
+        t0 = time.time()
+        run = {qid: [u for u, _ in eq.query("OR " + q, 1000)] for qid, q in qset}
+        queries["quality_50q"] = round(time.time() - t0, 3)
+        m = evaluate_run(run, qrels, ndcg_k=10, grades=grades)
+        detail["quality_map"] = round(m["map"], 4)
+        detail["quality_mrr"] = round(m["mrr"], 4)
+        detail["quality_ndcg10"] = round(m["ndcg@10"], 4)
+        detail["quality_n_queries"] = m["n_queries"]
+
     if "dedup_sigs" in components:
         # the signature stage of the minhash pipeline ALONE (pure-CPU
         # md5+mulmod map, no shuffle) — the scaling-forensics probe that
@@ -565,7 +593,7 @@ if __name__ == "__main__":
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         comps = os.environ.get(
             "BENCH_COMPONENTS",
-            "build,daat,bmw_skewed,serve,topk_batch,dedup_minhash,ann,"
-            "passages,positional,curation,events",
+            "build,daat,bmw_skewed,quality,serve,topk_batch,dedup_minhash,"
+            "ann,passages,positional,curation,events",
         ).split(",")
         print(json.dumps(run_bench(sf_dir, ncpu, comps)))

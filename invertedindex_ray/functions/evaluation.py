@@ -58,15 +58,40 @@ def ndcg_at_k(ranked: Sequence[str], relevant: Iterable[str], k: int = 10) -> fl
     return dcg / ideal if ideal else 0.0
 
 
+def ndcg_at_k_graded(
+    ranked: Sequence[str], grades: Mapping[str, int], k: int = 10
+) -> float:
+    """nDCG@k with graded relevance: gain = 2^grade - 1 (trec_eval /
+    Burges et al. convention), log2(rank+1) discount, ideal = docs
+    sorted by descending grade."""
+    pos = [g for g in grades.values() if g > 0]
+    if not pos:
+        return 0.0
+    dcg = sum(
+        (2.0 ** grades.get(doc, 0) - 1.0) / math.log2(i + 1)
+        for i, doc in enumerate(ranked[:k], 1)
+    )
+    ideal = sum(
+        (2.0 ** g - 1.0) / math.log2(i + 1)
+        for i, g in enumerate(sorted(pos, reverse=True)[:k], 1)
+    )
+    return dcg / ideal if ideal else 0.0
+
+
 def evaluate_run(
     run: Mapping[str, Sequence[str]],
     qrels: Mapping[str, Iterable[str]],
     *,
     ndcg_k: int = 10,
+    grades: Mapping[str, Mapping[str, int]] | None = None,
 ) -> dict[str, float]:
     """run: qid -> ranked doc ids; qrels: qid -> relevant doc ids.
     Queries present in qrels but absent from the run count as zeros
     (trec_eval -c semantics). Returns {"map", "mrr", "ndcg@k", "n_queries"}.
+
+    ``grades``: optional qid -> {doc: grade} graded judgments; when
+    given, nDCG uses graded gains (AP/RR stay binary over grade >= 1,
+    the trec_eval convention).
     """
     qids = sorted(qrels)
     if not qids:
@@ -77,7 +102,10 @@ def evaluate_run(
         rel = set(qrels[qid])
         ap += average_precision(ranked, rel)
         rr += reciprocal_rank(ranked, rel)
-        nd += ndcg_at_k(ranked, rel, ndcg_k)
+        if grades is not None:
+            nd += ndcg_at_k_graded(ranked, grades.get(qid, {}), ndcg_k)
+        else:
+            nd += ndcg_at_k(ranked, rel, ndcg_k)
     n = len(qids)
     return {
         "map": ap / n,
