@@ -65,6 +65,8 @@ def _config_from_args(args) -> "IndexConfig":
         kw["num_doc_partitions"] = args.num_partitions
     if getattr(args, "id_mode", None):
         kw["id_mode"] = args.id_mode
+    if getattr(args, "codec", None):
+        kw["codec"] = args.codec
     return IndexConfig(**kw)
 
 
@@ -199,6 +201,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--num-buckets", type=int)
     pi.add_argument("--num-partitions", type=int)
     pi.add_argument("--id-mode", choices=["dense", "hash"])
+    pi.add_argument("--codec", choices=["vb", "gamma", "delta"],
+                    help="posting-stream codec (default vb; gamma/delta "
+                         "are bit-aligned — denser small gaps, no skip "
+                         "pointers)")
     pi.add_argument("--no-checkpoint", action="store_true",
                     help="skip the tokenized resume checkpoint")
     pi.add_argument("--textual", action="store_true",
