@@ -187,6 +187,20 @@ def cmd_export_dat(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Re-encode a built index under another posting-stream codec —
+    zero-shuffle, one Ray task per segment file (merge.convert_codec)."""
+    _ray_init(args.num_cpus)
+    from invertedindex_ray.merge import convert_codec
+
+    stats = convert_codec(args.index_dir, args.out, args.codec)
+    print(
+        f"converted {stats.num_docs} docs ({stats.total_tokens} tokens) "
+        f"-> {args.out} [codec={args.codec}]"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m invertedindex_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -245,6 +259,15 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--skip-threshold", type=int, default=1024,
                     help="df above which skip pointers are emitted")
     px.set_defaults(fn=cmd_export_dat)
+
+    pc = sub.add_parser(
+        "convert",
+        help="re-encode a built index under another posting-stream codec",
+    )
+    pc.add_argument("index_dir", help="built index directory")
+    pc.add_argument("out", help="output directory for the converted index")
+    pc.add_argument("--codec", required=True, choices=["vb", "gamma", "delta"])
+    pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -528,6 +528,126 @@ def delete_docs(index_dir: str, out_dir: str, doc_ids) -> "object":
     return stats
 
 
+def convert_codec(index_dir: str, out_dir: str, codec: str):
+    """Re-encode a built index's posting streams under another codec
+    (IndexConfig.codec: vb | gamma | delta) WITHOUT re-tokenizing and
+    WITHOUT any shuffle — the codec-migration half of day-2 index
+    maintenance (merge/delete/upsert are the content half).
+
+    Doc ids, parts, buckets, run order, df/cf/tub, the doc table and
+    the collection stats are all invariant under the stream codec, so
+    every artifact except the segment blobs copies verbatim and each
+    segment bucket file converts INDEPENDENTLY — one Ray task per
+    file, no exchange at all. At petabyte index scale that means a
+    codec migration moves each compressed byte exactly twice (read +
+    write) with embarrassing parallelism, and a killed run resumes by
+    skipping files that already exist (same per-file atomicity as the
+    build). Skip pointers are rebuilt for a VB target (byte offsets
+    are codec-specific) and dropped for bit-aligned targets, exactly
+    as a fresh build under the target codec would."""
+    import dataclasses
+
+    import ray
+
+    from invertedindex_ray.build import CollectionStats, IndexBuilder
+    from invertedindex_ray.state.disktables import _parquet_files
+
+    cfg = IndexConfig.load(index_dir)
+    if cfg is None:
+        raise ValueError("input must be a built index (config.json missing)")
+    src_codec = getattr(cfg, "codec", "vb")
+    if codec == src_codec:
+        raise ValueError(f"index already uses codec {codec!r}")
+    new_cfg = dataclasses.replace(cfg, codec=codec)  # __post_init__ validates
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        # resume is allowed ONLY into a partial convert of this exact
+        # target config (per-file skip semantics below); anything else
+        # is refused rather than silently mixed
+        prev = IndexConfig.load(out_dir)
+        if prev is None or prev.fingerprint() != new_cfg.fingerprint():
+            raise ValueError(
+                f"convert target {out_dir} exists and is not a partial "
+                "convert under the same config"
+            )
+    os.makedirs(out_dir, exist_ok=True)
+    builder = IndexBuilder(out_dir, new_cfg)
+    new_cfg.save(out_dir)
+
+    @ray.remote
+    def copy_file(src: str, dst: str) -> None:
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    threshold = cfg.skip_pointers_threshold
+    dst_codec = new_cfg.codec
+
+    @ray.remote
+    def convert_file(src: str, dst: str) -> None:
+        if os.path.exists(dst):
+            return  # resume: this bucket already converted
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.functions import codec as cmod
+        from invertedindex_ray.state.manifest import atomic_write_table
+
+        t = pq.read_table(src)
+        new_d: list[bytes] = []
+        new_t: list[bytes] = []
+        new_s: list[bytes] = []
+        for d, tf in zip(t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist()):
+            ids, tfs = cmod.decode_posting_list(d, tf, src_codec)
+            if dst_codec == "vb":
+                db, tb, sk = cmod.encode_posting_list(ids, tfs, threshold)
+            else:
+                gaps = ids.copy()
+                gaps[1:] -= ids[:-1]
+                db = cmod.encode_stream(gaps, dst_codec)
+                tb = cmod.encode_stream(tfs, dst_codec)
+                sk = b""
+            new_d.append(db)
+            new_t.append(tb)
+            new_s.append(sk)
+        for name, vals in (
+            ("doc_ids_vb", new_d), ("tfs_vb", new_t), ("skips", new_s)
+        ):
+            t = t.set_column(
+                t.schema.get_field_index(name), name,
+                pa.array(vals, type=pa.binary()),
+            )
+        atomic_write_table(dst, t)
+
+    tasks = []
+    # codec-invariant artifacts copy verbatim (per-file Ray tasks)
+    for sub in ("doc_table", "lexicon", "segstats"):
+        sdir = os.path.join(index_dir, sub)
+        if not os.path.isdir(sdir):
+            continue
+        ddir = os.path.join(out_dir, sub)
+        os.makedirs(ddir, exist_ok=True)
+        tasks += [
+            copy_file.remote(f, os.path.join(ddir, os.path.basename(f)))
+            for f in _parquet_files(sdir)
+        ]
+    seg_out = os.path.join(out_dir, "segments")
+    os.makedirs(seg_out, exist_ok=True)
+    tasks += [
+        convert_file.remote(f, os.path.join(seg_out, os.path.basename(f)))
+        for f in _parquet_files(os.path.join(index_dir, "segments"))
+    ]
+    ray.get(tasks)
+
+    stats = CollectionStats.load(index_dir)
+    stats.save(out_dir)
+    builder.manifest.mark_complete(
+        "stats", num_docs=stats.num_docs, total_tokens=stats.total_tokens
+    )
+    builder.manifest.mark_complete("doc_table", num_docs=stats.num_docs)
+    builder.manifest.mark_complete("segments")
+    builder.manifest.mark_complete("lexicon")
+    builder.manifest.mark_complete("build")
+    return stats
+
+
 def upsert_docs(index_dir: str, out_dir: str, pages, *, scratch_dir: str | None = None):
     """Upsert (hash id mode only): re-index the ``pages`` delta and fold
     it into an existing index WITHOUT re-tokenizing the base corpus —

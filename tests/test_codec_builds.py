@@ -213,3 +213,90 @@ class TestCodecMerge:
             np.testing.assert_array_equal(
                 em.get_postings(t)[1], ef.get_postings(t)[1], err_msg=t
             )
+
+
+class TestConvertCodec:
+    def test_convert_matches_fresh_build(self, codec_builds, tmp_path, ray_session):
+        """convert_codec(vb -> gamma) must equal the fresh gamma build
+        byte-for-byte on the posting streams (same runs, same order,
+        same encoder), and gamma -> vb must restore the VB blobs AND
+        their skip pointers."""
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.merge import convert_codec
+
+        def stream_blobs(idx):
+            rows = {}
+            seg = os.path.join(idx, "segments")
+            for f in sorted(os.listdir(seg)):
+                t = pq.read_table(os.path.join(seg, f))
+                for r in t.to_pylist():
+                    rows[(r["term"], r["part"])] = (
+                        r["doc_ids_vb"], r["tfs_vb"], r["skips"]
+                    )
+            return rows
+
+        vb_idx, vb_cfg = codec_builds["vb"]
+        g_idx, g_cfg = codec_builds["gamma"]
+
+        conv_g = str(tmp_path / "conv_gamma")
+        convert_codec(vb_idx, conv_g, "gamma")
+        assert IndexConfig.load(conv_g).codec == "gamma"
+        assert stream_blobs(conv_g) == stream_blobs(g_idx)
+
+        conv_v = str(tmp_path / "conv_vb")
+        convert_codec(g_idx, conv_v, "vb")
+        assert stream_blobs(conv_v) == stream_blobs(vb_idx)
+
+        # engine over the converted index is query-identical
+        e_conv = QueryEngine(conv_g, IndexConfig.load(conv_g))
+        e_ref = QueryEngine(vb_idx, vb_cfg)
+        for q in ("OR web data search", "AND page term"):
+            assert [(d, round(s, 9)) for d, s in e_conv.query(q, k=10)] == [
+                (d, round(s, 9)) for d, s in e_ref.query(q, k=10)
+            ]
+
+    def test_convert_same_codec_rejected(self, codec_builds, tmp_path):
+        from invertedindex_ray.merge import convert_codec
+
+        vb_idx, _ = codec_builds["vb"]
+        with pytest.raises(ValueError, match="already uses codec"):
+            convert_codec(vb_idx, str(tmp_path / "x"), "vb")
+
+    def test_convert_resumes_per_file(self, codec_builds, tmp_path, ray_session):
+        """Resume semantics: a target that is a PARTIAL convert under
+        the same config is resumed (already-converted segment files are
+        skipped, not clobbered); any other non-empty target is refused."""
+        import dataclasses
+
+        import pyarrow.parquet as pq
+
+        from invertedindex_ray.merge import convert_codec
+
+        vb_idx, vb_cfg = codec_builds["vb"]
+
+        # refused: non-empty dir that is not a partial convert
+        junk = str(tmp_path / "junk")
+        os.makedirs(junk)
+        with open(os.path.join(junk, "stray.txt"), "w") as f:
+            f.write("x")
+        with pytest.raises(ValueError, match="not a partial convert"):
+            convert_codec(vb_idx, junk, "gamma")
+
+        # resumed: plant the target config + one sentinel segment file;
+        # the sentinel must survive the convert untouched
+        out = str(tmp_path / "resume")
+        os.makedirs(os.path.join(out, "segments"))
+        dataclasses.replace(vb_cfg, codec="gamma").save(out)
+        seg_name = sorted(os.listdir(os.path.join(vb_idx, "segments")))[0]
+        marker = os.path.join(out, "segments", seg_name)
+        sentinel = pq.read_table(
+            os.path.join(vb_idx, "segments", seg_name)
+        ).slice(0, 1)
+        pq.write_table(sentinel, marker)
+        convert_codec(vb_idx, out, "gamma")
+        assert pq.read_table(marker).num_rows == 1  # skipped, not rewritten
+        # every OTHER bucket was converted
+        assert sorted(os.listdir(os.path.join(out, "segments"))) == sorted(
+            os.listdir(os.path.join(vb_idx, "segments"))
+        )
