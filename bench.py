@@ -242,10 +242,14 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
                                 replace=False))
             for _ in range(300)
         ]
+        # warm the OS page cache with the FULL query set once, untimed,
+        # before either traversal is timed — wand runs first, and a
+        # partial warm-up would let its cold parquet reads subsidize
+        # bmw's fully-warm identical run (asymmetric-I/O bias)
+        ew = QueryEngine(idx_sk, cfg, traversal="wand")
+        for q in qs:
+            ew.query("OR " + q, 10)
         for trav, label in (("wand", "wand_skewed_300q"), ("bmw", "bmw_skewed_300q")):
-            et = QueryEngine(idx_sk, cfg, traversal=trav)
-            for q in qs[:20]:  # warm segment/page cache, untimed
-                et.query("OR " + q, 10)
             et = QueryEngine(idx_sk, cfg, traversal=trav)
             scored = skips = 0
             t0 = time.time()
@@ -449,12 +453,22 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         # planted relevance BM25 should and does score near the top).
         from invertedindex_ray.engine import QueryEngine
         from invertedindex_ray.functions.evaluation import evaluate_run
-        from invertedindex_ray.sources.quality_corpus import synth_graded_corpus
+        from invertedindex_ray.sources.quality_corpus import (
+            corpus_fingerprint,
+            synth_graded_corpus,
+        )
 
         n_q = min(n_docs, 50_000)
-        idx_q = f"/tmp/iidx-bench-quality-{n_q}"
-        table, qset, qrels, grades = synth_graded_corpus(n_q, n_topics=50)
-        if not os.path.exists(os.path.join(idx_q, "stats.json")):
+        # cache key carries the full generator fingerprint: a stale
+        # index must never be scored against freshly generated qrels
+        idx_q = f"/tmp/iidx-bench-quality-{n_q}-{corpus_fingerprint(n_q)}"
+        cached = os.path.exists(os.path.join(idx_q, "stats.json"))
+        # texts are only needed for a fresh build; qrels/queries come
+        # from an independent rng stream and regenerate bit-identically
+        table, qset, qrels, grades = synth_graded_corpus(
+            n_q, n_topics=50, include_texts=not cached
+        )
+        if not cached:
             shutil.rmtree(idx_q, ignore_errors=True)
             build_index(rd.from_arrow(table), idx_q, cfg)
         eq = QueryEngine(idx_q, cfg)

@@ -216,21 +216,34 @@ def elias_gamma_encode(values: np.ndarray) -> tuple[bytes, int]:
     return np.packbits(bits).tobytes(), total
 
 
+_ASSEMBLE_CHUNK = 1 << 18  # codes per chunk — bounds transient arrays
+
+
 def _assemble_msb_first(bits: np.ndarray, firsts: np.ndarray,
                         lens: np.ndarray) -> np.ndarray:
     """Vectorized big-endian integer assembly: value i is the ``lens[i]``
-    bits of ``bits`` starting at ``firsts[i]``, MSB first. One gather +
-    one reduceat — no per-bit Python loop."""
-    if not len(firsts):
+    bits of ``bits`` starting at ``firsts[i]``, MSB first. Gather +
+    reduceat — no per-bit Python loop. Processed in bounded chunks of
+    codes: the temporaries are ~32 B per encoded BIT, so one whole-list
+    pass over a high-df term's list (which always decodes whole under
+    gamma/delta — no skips) would allocate GBs; chunking keeps the peak
+    at O(chunk) with identical output."""
+    n = len(firsts)
+    if not n:
         return np.empty(0, dtype=np.uint64)
-    total = int(lens.sum())
-    seg_starts = np.zeros(len(lens), dtype=np.int64)
-    np.cumsum(lens[:-1], out=seg_starts[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
-    idx = np.repeat(firsts, lens) + within
-    weights = np.uint64(1) << (np.repeat(lens, lens) - 1 - within).astype(np.uint64)
-    terms = bits[idx].astype(np.uint64) * weights
-    return np.add.reduceat(terms, seg_starts)
+    out = np.empty(n, dtype=np.uint64)
+    for c0 in range(0, n, _ASSEMBLE_CHUNK):
+        c1 = min(c0 + _ASSEMBLE_CHUNK, n)
+        f, l = firsts[c0:c1], lens[c0:c1]
+        total = int(l.sum())
+        seg_starts = np.zeros(c1 - c0, dtype=np.int64)
+        np.cumsum(l[:-1], out=seg_starts[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, l)
+        idx = np.repeat(f, l) + within
+        weights = np.uint64(1) << (np.repeat(l, l) - 1 - within).astype(np.uint64)
+        terms = bits[idx].astype(np.uint64) * weights
+        out[c0:c1] = np.add.reduceat(terms, seg_starts)
+    return out
 
 
 def elias_gamma_decode(blob: bytes, total_bits: int) -> np.ndarray:

@@ -575,8 +575,12 @@ def convert_codec(index_dir: str, out_dir: str, codec: str):
 
     @ray.remote
     def copy_file(src: str, dst: str) -> None:
+        # tmp + rename: resume skips existing files, so a torn direct
+        # copy would survive as a permanently truncated artifact
         if not os.path.exists(dst):
-            shutil.copyfile(src, dst)
+            tmp = dst + ".tmp"
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)
 
     threshold = cfg.skip_pointers_threshold
     dst_codec = new_cfg.codec

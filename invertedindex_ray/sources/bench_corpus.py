@@ -40,9 +40,13 @@ def corpus_path(n_docs: int, seed: int = 42, variant: str = "uniform") -> str:
     if variant == "uniform":
         suffix = ""
     else:
+        # EVERY generation constant is in the cache key — tuning any of
+        # them must invalidate the cached corpus, or the bench silently
+        # measures stale data
         suffix = (
-            f"-{variant}{_SKEW_HOT_EVERY}"
+            f"-{variant}{_SKEW_HOT_EVERY}-r{_SKEW_RUN}"
             f"-f{_SKEW_FOCUS_RANKS[0]}-{_SKEW_FOCUS_RANKS[1]}"
+            f"-t{_SKEW_FOCUS_REPEATS[0]}-{_SKEW_FOCUS_REPEATS[1]}"
         )
     return f"/tmp/iidx-bench-corpus-{n_docs}-{seed}{suffix}"
 

@@ -37,6 +37,19 @@ def _topic_vocab(t: int) -> np.ndarray:
     )
 
 
+def corpus_fingerprint(n_docs: int, *, n_topics: int = 50, seed: int = 11) -> str:
+    """Short hash of EVERY generation parameter — cache keys derived
+    from it invalidate whenever any constant that shapes the corpus or
+    the qrels changes (the stale-cache class the bench must never hit)."""
+    import hashlib
+
+    blob = repr((
+        "v2", n_docs, n_topics, seed,
+        _TOPIC_WORDS, _STRONG_FRAC, _WEAK_FRAC, len(_WORDS),
+    )).encode()
+    return hashlib.sha256(blob).hexdigest()[:10]
+
+
 def synth_graded_corpus(
     n_docs: int,
     *,
@@ -44,38 +57,75 @@ def synth_graded_corpus(
     seed: int = 11,
     queries_per_topic: int = 1,
     query_terms: int = 3,
+    include_texts: bool = True,
 ):
     """Returns ``(pages_table, queries, qrels, grades)``:
 
-    - ``pages_table``: Arrow (url, text) — engine-buildable pages;
+    - ``pages_table``: Arrow (url, text) — engine-buildable pages
+      (``None`` when ``include_texts=False``);
     - ``queries``: [(qid, query_text)] — ``query_terms`` words sampled
       from each topic's vocabulary;
     - ``qrels``: {qid: set(url)} — binary relevant = grade >= 1;
     - ``grades``: {qid: {url: grade}} — graded judgments (1 weak,
       2 strong) for graded nDCG.
+
+    Labels/queries and text content come from two INDEPENDENT seeded
+    streams, so ``include_texts=False`` (for a caller whose index is
+    already built) reproduces byte-identical queries/qrels without
+    paying for text generation.
     """
-    rng = np.random.default_rng(seed)
+    rng_labels = np.random.default_rng(seed)
+    rng_texts = np.random.default_rng(seed ^ 0x9E3779B9)
+    topic_vocabs = [_topic_vocab(t) for t in range(n_topics)]
+
+    roll = rng_labels.random(n_docs)
+    strong = roll < _STRONG_FRAC
+    weak = (~strong) & (roll < _STRONG_FRAC + _WEAK_FRAC)
+    topic_of = rng_labels.integers(0, n_topics, size=n_docs)
+    lengths = rng_labels.integers(60, 200, size=n_docs)
+
+    queries: list[tuple[str, str]] = []
+    for t in range(n_topics):
+        for j in range(queries_per_topic):
+            words = rng_labels.choice(topic_vocabs[t], size=query_terms, replace=False)
+            queries.append((f"t{t:03d}q{j}", " ".join(words)))
+
+    urls = [f"https://quality.example.org/{i:08d}" for i in range(n_docs)]
+    qrels: dict[str, set] = {qid: set() for qid, _ in queries}
+    grades: dict[str, dict] = {qid: {} for qid, _ in queries}
+    for i in np.flatnonzero(strong | weak):
+        g = 2 if strong[i] else 1
+        for j in range(queries_per_topic):
+            qid = f"t{topic_of[i]:03d}q{j}"
+            qrels[qid].add(urls[i])
+            grades[qid][urls[i]] = g
+
+    if not include_texts:
+        return None, queries, qrels, grades
+
+    # background tokens: ONE Zipf draw for the whole corpus (the
+    # per-doc choice(p=...) loop rebuilt the vocabulary CDF 50K times —
+    # same vectorization as bench_corpus.ensure_corpus)
     n_vocab = len(_WORDS)
     p = 1.0 / np.arange(1, n_vocab + 1) ** 1.07
     p /= p.sum()
-    topic_vocabs = [_topic_vocab(t) for t in range(n_topics)]
-
-    roll = rng.random(n_docs)
-    strong = roll < _STRONG_FRAC
-    weak = (~strong) & (roll < _STRONG_FRAC + _WEAK_FRAC)
-    topic_of = rng.integers(0, n_topics, size=n_docs)
-    lengths = rng.integers(60, 200, size=n_docs)
-
-    urls = [f"https://quality.example.org/{i:08d}" for i in range(n_docs)]
+    total = int(lengths.sum())
+    words = rng_texts.choice(_WORDS, size=total, p=p)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
     texts: list[str] = []
     for i in range(n_docs):
-        n_tok = int(lengths[i])
-        toks = rng.choice(_WORDS, size=n_tok, p=p)
+        toks = words[offsets[i]:offsets[i + 1]]
         if strong[i] or weak[i]:
-            frac = rng.uniform(0.45, 0.70) if strong[i] else rng.uniform(0.12, 0.30)
+            toks = toks.copy()
+            n_tok = len(toks)
+            frac = (
+                rng_texts.uniform(0.45, 0.70)
+                if strong[i] else rng_texts.uniform(0.12, 0.30)
+            )
             n_topic = max(1, int(round(frac * n_tok)))
-            at = rng.choice(n_tok, size=n_topic, replace=False)
-            toks[at] = rng.choice(topic_vocabs[topic_of[i]], size=n_topic)
+            at = rng_texts.choice(n_tok, size=n_topic, replace=False)
+            toks[at] = rng_texts.choice(topic_vocabs[topic_of[i]], size=n_topic)
         texts.append(" ".join(toks))
 
     table = pa.table(
@@ -84,20 +134,4 @@ def synth_graded_corpus(
             "text": pa.array(texts, type=pa.string()),
         }
     )
-
-    queries: list[tuple[str, str]] = []
-    for t in range(n_topics):
-        for j in range(queries_per_topic):
-            words = rng.choice(topic_vocabs[t], size=query_terms, replace=False)
-            queries.append((f"t{t:03d}q{j}", " ".join(words)))
-
-    qrels: dict[str, set] = {qid: set() for qid, _ in queries}
-    grades: dict[str, dict] = {qid: {} for qid, _ in queries}
-    rel_idx = np.flatnonzero(strong | weak)
-    for i in rel_idx:
-        g = 2 if strong[i] else 1
-        for j in range(queries_per_topic):
-            qid = f"t{topic_of[i]:03d}q{j}"
-            qrels[qid].add(urls[i])
-            grades[qid][urls[i]] = g
     return table, queries, qrels, grades
