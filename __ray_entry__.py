@@ -502,6 +502,10 @@ _DRIVER_WINDOW_ORDER = [
     "pack_sequences",
     "contamination_check",
     "top_keywords",
+    # --- newly SQL-oracled in round 5 (previously rows-only in every
+    # driver run): their first driver HASH verification ---
+    "kmeans_clusters",
+    "semantic_dedup",
     # --- last driver-checked in round 2 ---
     "asof_join",
     "binary_metadata",
