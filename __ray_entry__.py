@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_daat_distributed": lambda sf: _served_results_table(sf, _NOSTEM_CFG),
         # --- index merge: shard builds folded into one index ---
         "merged_index_tub": lambda sf: _merged_index_tub(sf),
+        # --- Elias-codec index round-trip (build gamma -> decode all) ---
+        "gamma_index_postings": lambda sf: _gamma_index_postings(sf),
         # --- index deletion: retraction without re-tokenizing ---
         "deleted_index_tub": lambda sf: _deleted_index_tub(sf),
         # --- more-like-this: seed keywords -> BM25 OR retrieval ---
@@ -506,6 +508,8 @@ _DRIVER_WINDOW_ORDER = [
     # driver run): their first driver HASH verification ---
     "kmeans_clusters",
     "semantic_dedup",
+    # --- round-5 Elias-codec end-to-end round-trip ---
+    "gamma_index_postings",
     # --- last driver-checked in round 2 ---
     "asof_join",
     "binary_metadata",
@@ -948,6 +952,86 @@ def _merged_index_tub(sf_dir: str):
                 round_half_up(lex["tub"].to_numpy(), 6), type=pa.float64()
             ),
         }
+    )
+
+
+def _gamma_index_postings(sf_dir: str):
+    """Driver-verified end-to-end proof of the Elias codec chain: build
+    a ``codec="gamma"`` nostem index over the documents pages view
+    (cached by config fingerprint), decode EVERY persisted segment run
+    back to (term, doc_id, tf) with a distributed codec-aware
+    map_batches over the segment files, and map the index's dense ids
+    back to the documents table's doc_id through the doc-table urls
+    (the url embeds the original id — sources/pages.py:126). Oracle =
+    the plain `postings` SQL: any wrong bit anywhere in the gamma
+    encode → segment write → read → decode chain kills the hash.
+
+    The dense-id → original-id map is a bounded broadcast here (one
+    int64 per doc — a correctness probe at check scale; at web scale
+    this mapping is a doc-table join, as in batch_query.py)."""
+    import dataclasses
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from invertedindex_ray.sources.io import read_parquet_clean as _rpq
+
+    cfg = dataclasses.replace(_NOSTEM_CFG, codec="gamma")
+    _built_engine(sf_dir, cfg)  # ensure the cached gamma index exists
+    idx = _index_dir_for(sf_dir, cfg)
+
+    dt = pq.read_table(
+        sorted(glob.glob(os.path.join(idx, "doc_table", "*.parquet"))),
+        columns=["doc_id", "url"],
+    )
+    dense = dt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    orig = np.fromiter(
+        (int(u[-10:]) for u in dt["url"].to_pylist()), dtype=np.int64,
+        count=len(dense),
+    )
+    id_map = np.zeros(int(dense.max()) + 1 if len(dense) else 1, dtype=np.int64)
+    id_map[dense] = orig
+    map_ref = ray.put(id_map)
+
+    def decode(batch):
+        import pyarrow as pa
+        import ray as _ray
+
+        from invertedindex_ray.functions import codec as cmod
+
+        arr = _ray.get(map_ref)
+        terms, id_parts, tf_parts = [], [], []
+        for term, d, t in zip(
+            batch["term"].to_pylist(),
+            batch["doc_ids_vb"].to_pylist(),
+            batch["tfs_vb"].to_pylist(),
+        ):
+            ids, tfs = cmod.decode_posting_list(d, t, "gamma")
+            terms.append(np.full(len(ids), term, dtype=object))
+            id_parts.append(ids)
+            tf_parts.append(tfs)
+        if not terms:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(terms), type=pa.string()),
+                "doc_id": pa.array(
+                    arr[np.concatenate(id_parts)], type=pa.int64()
+                ),
+                "tf": pa.array(np.concatenate(tf_parts), type=pa.int64()),
+            }
+        )
+
+    return _rpq(os.path.join(idx, "segments")).map_batches(
+        decode, batch_format="pyarrow"
     )
 
 
@@ -2829,6 +2913,8 @@ SELECT doc_id, n_words, (fail_mask = 0)::BIGINT AS keep, fail_mask FROM m
     # the merged index must be indistinguishable from one full build, so
     # its lexicon shares the full-corpus term_upper_bounds mirror verbatim
     sql["merged_index_tub"] = sql["term_upper_bounds"]
+    # the gamma-codec index must decode to exactly the corpus postings
+    sql["gamma_index_postings"] = sql["postings"]
     # deletion: same lexicon mirror over only the surviving docs
     sql["deleted_index_tub"] = _deleted_tub_sql()
     return sql
