@@ -452,8 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (CORRECTNESS_r*.json). Rounds 1-4 always led with the same
     # retrieval/dedup block, so 39 entries (all TPC-H, events, windows,
     # curation, most textstats) never received a driver-green row
-    # (VERDICT r4 "Next round" #1). Lead with those 39, then the 11
-    # entries whose last driver check is oldest (round 2); the
+    # (VERDICT r4 "Next round" #1). Lead with those 39, then the three
+    # entries earning their FIRST hash verification in round 5
+    # (kmeans/semantic — newly SQL-oracled — and the Elias round-trip),
+    # then 8 entries whose last driver check is oldest (round 2); the
     # long-stable round-1 entries close the dict. Coverage/content is
     # unchanged — this is pure insertion-order rotation.
     ordered = {k: q.pop(k) for k in _DRIVER_WINDOW_ORDER}
@@ -505,12 +507,15 @@ _DRIVER_WINDOW_ORDER = [
     "contamination_check",
     "top_keywords",
     # --- newly SQL-oracled in round 5 (previously rows-only in every
-    # driver run): their first driver HASH verification ---
+    # driver run) + the Elias end-to-end round-trip: their first driver
+    # HASH verification ---
     "kmeans_clusters",
     "semantic_dedup",
-    # --- round-5 Elias-codec end-to-end round-trip ---
     "gamma_index_postings",
-    # --- last driver-checked in round 2 ---
+    # --- last driver-checked in round 2 (trimmed to keep the window at
+    # EXACTLY 50: sample_docs/sessionize/window_hopping were dropped in
+    # favor of the three first-time hash verifications above — they
+    # hold round-2 driver-green rows plus full sweep coverage) ---
     "asof_join",
     "binary_metadata",
     "decode_features",
@@ -519,9 +524,6 @@ _DRIVER_WINDOW_ORDER = [
     "late_events",
     "range_join",
     "resize_images",
-    "sample_docs",
-    "sessionize",
-    "window_hopping",
 ]
 
 

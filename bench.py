@@ -249,6 +249,7 @@ def run_bench(sf_dir: str, num_cpus: int, components: list[str]) -> dict:
         ew = QueryEngine(idx_sk, cfg, traversal="wand")
         for q in qs:
             ew.query("OR " + q, 10)
+        del ew  # free the warm-up engine's caches before the timed loops
         for trav, label in (("wand", "wand_skewed_300q"), ("bmw", "bmw_skewed_300q")):
             et = QueryEngine(idx_sk, cfg, traversal=trav)
             scored = skips = 0

@@ -40,14 +40,19 @@ def corpus_path(n_docs: int, seed: int = 42, variant: str = "uniform") -> str:
     if variant == "uniform":
         suffix = ""
     else:
-        # EVERY generation constant is in the cache key — tuning any of
-        # them must invalidate the cached corpus, or the bench silently
-        # measures stale data
-        suffix = (
-            f"-{variant}{_SKEW_HOT_EVERY}-r{_SKEW_RUN}"
-            f"-f{_SKEW_FOCUS_RANKS[0]}-{_SKEW_FOCUS_RANKS[1]}"
-            f"-t{_SKEW_FOCUS_REPEATS[0]}-{_SKEW_FOCUS_REPEATS[1]}"
-        )
+        # EVERY generation constant feeds the cache key via one hash —
+        # tuning any of them must invalidate the cached corpus, or the
+        # bench silently measures stale data
+        import hashlib
+
+        params = repr((
+            _SKEW_RUN, _SKEW_HOT_EVERY, _SKEW_FOCUS_REPEATS,
+            _SKEW_FOCUS_RANKS, _SKEW_HOT_LEN, _SKEW_COLD_LEN,
+            _SKEW_N_FOCUS, _ZIPF_EXP,
+            hashlib.sha256("\x00".join(_WORDS).encode()).hexdigest(),
+        )).encode()
+        suffix = f"-{variant}-{hashlib.sha256(params).hexdigest()[:10]}"
+
     return f"/tmp/iidx-bench-corpus-{n_docs}-{seed}{suffix}"
 
 
@@ -62,6 +67,11 @@ def corpus_path(n_docs: int, seed: int = 42, variant: str = "uniform") -> str:
 _SKEW_RUN = 4096
 _SKEW_HOT_EVERY = 8          # 1 run in 8 is hot (~12% of docs)
 _SKEW_FOCUS_REPEATS = (6, 20)  # tf boost inside hot docs
+_SKEW_HOT_LEN = (30, 60)       # hot-doc token count
+_SKEW_COLD_LEN = (400, 700)    # cold-doc token count
+_SKEW_N_FOCUS = (2, 4)         # focus words planted per hot doc
+_UNIFORM_LEN = (40, 320)       # uniform-variant doc token count
+_ZIPF_EXP = 1.07               # vocabulary rank skew
 # focus band: vocabulary ranks boosted in hot docs. Deliberately in the
 # Zipf TAIL (cold docs carry tf<=1 for these), so a focus list's cold
 # block maxima sit ~3x below its hot maxima — head/mid ranks don't work
@@ -97,7 +107,7 @@ def ensure_corpus(
     rng = np.random.default_rng(seed)
     n_vocab = len(_WORDS)
     # Zipf-ish rank probabilities over the vocabulary
-    p = 1.0 / np.arange(1, n_vocab + 1) ** 1.07
+    p = 1.0 / np.arange(1, n_vocab + 1) ** _ZIPF_EXP
     p /= p.sum()
     focus_pool = np.arange(*_SKEW_FOCUS_RANKS)
 
@@ -111,11 +121,13 @@ def ensure_corpus(
             doc_idx = np.arange(done, done + n, dtype=np.int64)
             hot = (doc_idx // _SKEW_RUN) % _SKEW_HOT_EVERY == 0
             lengths = np.where(
-                hot, rng.integers(30, 60, size=n), rng.integers(400, 700, size=n)
+                hot,
+                rng.integers(*_SKEW_HOT_LEN, size=n),
+                rng.integers(*_SKEW_COLD_LEN, size=n),
             )
         else:
             hot = np.zeros(n, dtype=bool)
-            lengths = rng.integers(40, 320, size=n)
+            lengths = rng.integers(*_UNIFORM_LEN, size=n)
         total = int(lengths.sum())
         words = rng.choice(_WORDS, size=total, p=p)
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -129,7 +141,7 @@ def ensure_corpus(
             lo, hi = _SKEW_FOCUS_REPEATS
             for i in np.flatnonzero(hot):
                 doc_words = words[offsets[i]:offsets[i + 1]].copy()
-                n_focus = int(rng.integers(2, 4))
+                n_focus = int(rng.integers(*_SKEW_N_FOCUS))
                 picks = rng.choice(focus_pool, size=n_focus, replace=False)
                 pos = 0
                 for w_idx in picks:

@@ -29,6 +29,11 @@ from invertedindex_ray.sources.bench_corpus import _WORDS
 _TOPIC_WORDS = 30
 _STRONG_FRAC = 0.10   # docs strongly about their topic (grade 2)
 _WEAK_FRAC = 0.20     # docs weakly about their topic (grade 1)
+_LEN_RANGE = (60, 200)            # doc length in tokens
+_STRONG_TOPIC_FRAC = (0.45, 0.70)  # topic-token fraction, grade-2 docs
+_WEAK_TOPIC_FRAC = (0.12, 0.30)    # topic-token fraction, grade-1 docs
+_ZIPF_EXP = 1.07                   # background vocabulary skew
+_TEXT_STREAM_XOR = 0x9E3779B9      # labels/texts rng-stream split
 
 
 def _topic_vocab(t: int) -> np.ndarray:
@@ -38,14 +43,18 @@ def _topic_vocab(t: int) -> np.ndarray:
 
 
 def corpus_fingerprint(n_docs: int, *, n_topics: int = 50, seed: int = 11) -> str:
-    """Short hash of EVERY generation parameter — cache keys derived
-    from it invalidate whenever any constant that shapes the corpus or
-    the qrels changes (the stale-cache class the bench must never hit)."""
+    """Short hash of EVERY generation parameter (module constants AND
+    the background vocabulary content) — cache keys derived from it
+    invalidate whenever anything that shapes the corpus or the qrels
+    changes (the stale-cache class the bench must never hit)."""
     import hashlib
 
     blob = repr((
-        "v2", n_docs, n_topics, seed,
-        _TOPIC_WORDS, _STRONG_FRAC, _WEAK_FRAC, len(_WORDS),
+        n_docs, n_topics, seed,
+        _TOPIC_WORDS, _STRONG_FRAC, _WEAK_FRAC,
+        _LEN_RANGE, _STRONG_TOPIC_FRAC, _WEAK_TOPIC_FRAC,
+        _ZIPF_EXP, _TEXT_STREAM_XOR,
+        hashlib.sha256("\x00".join(_WORDS).encode()).hexdigest(),
     )).encode()
     return hashlib.sha256(blob).hexdigest()[:10]
 
@@ -75,14 +84,14 @@ def synth_graded_corpus(
     paying for text generation.
     """
     rng_labels = np.random.default_rng(seed)
-    rng_texts = np.random.default_rng(seed ^ 0x9E3779B9)
+    rng_texts = np.random.default_rng(seed ^ _TEXT_STREAM_XOR)
     topic_vocabs = [_topic_vocab(t) for t in range(n_topics)]
 
     roll = rng_labels.random(n_docs)
     strong = roll < _STRONG_FRAC
     weak = (~strong) & (roll < _STRONG_FRAC + _WEAK_FRAC)
     topic_of = rng_labels.integers(0, n_topics, size=n_docs)
-    lengths = rng_labels.integers(60, 200, size=n_docs)
+    lengths = rng_labels.integers(*_LEN_RANGE, size=n_docs)
 
     queries: list[tuple[str, str]] = []
     for t in range(n_topics):
@@ -107,7 +116,7 @@ def synth_graded_corpus(
     # per-doc choice(p=...) loop rebuilt the vocabulary CDF 50K times —
     # same vectorization as bench_corpus.ensure_corpus)
     n_vocab = len(_WORDS)
-    p = 1.0 / np.arange(1, n_vocab + 1) ** 1.07
+    p = 1.0 / np.arange(1, n_vocab + 1) ** _ZIPF_EXP
     p /= p.sum()
     total = int(lengths.sum())
     words = rng_texts.choice(_WORDS, size=total, p=p)
@@ -120,8 +129,8 @@ def synth_graded_corpus(
             toks = toks.copy()
             n_tok = len(toks)
             frac = (
-                rng_texts.uniform(0.45, 0.70)
-                if strong[i] else rng_texts.uniform(0.12, 0.30)
+                rng_texts.uniform(*_STRONG_TOPIC_FRAC)
+                if strong[i] else rng_texts.uniform(*_WEAK_TOPIC_FRAC)
             )
             n_topic = max(1, int(round(frac * n_tok)))
             at = rng_texts.choice(n_tok, size=n_topic, replace=False)

@@ -300,3 +300,22 @@ class TestConvertCodec:
         assert sorted(os.listdir(os.path.join(out, "segments"))) == sorted(
             os.listdir(os.path.join(vb_idx, "segments"))
         )
+
+
+class TestAssembleChunking:
+    def test_chunk_boundaries_are_exact(self, monkeypatch):
+        """The chunked decoder path only activates above _ASSEMBLE_CHUNK
+        codes; shrink the chunk so the suite crosses boundaries on every
+        run (a boundary off-by-one would otherwise only corrupt high-df
+        production lists)."""
+        rng = np.random.default_rng(7)
+        vals = rng.integers(1, 2**40, size=1000).astype(np.uint64)
+        vals[:5] = [1, 2**62, 1, 2**62, 3]  # extreme widths at a boundary
+        for chunk in (1, 7, 256):
+            monkeypatch.setattr(codec, "_ASSEMBLE_CHUNK", chunk)
+            for enc, dec in (
+                (codec.elias_gamma_encode, codec.elias_gamma_decode),
+                (codec.elias_delta_encode, codec.elias_delta_decode),
+            ):
+                blob, bits = enc(vals)
+                np.testing.assert_array_equal(dec(blob, bits), vals)
